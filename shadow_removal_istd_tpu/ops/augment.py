@@ -1,0 +1,137 @@
+"""Synchronized random augmentations as pure JAX functions.
+
+The reference augments with a chain of OpenCV host ops where one random
+draw applies to every image of the (shadow, matte, shadow-free) group:
+RandomScale(±5%) -> RandomRotate(±15°) -> RandomHorizontalFlip(0.5) ->
+RandomCrop(256) -> [-1,1] normalize (reference: src/transform.py:59-156,
+src/dataset.py:149-153, wired in src/cgan.py:105-110).
+
+Here the whole chain is ONE bilinear gather on device:
+
+- scale and rotation about the same center commute, so they compose into a
+  single rotation-scale affine (the reference resamples twice; composing
+  resamples once — strictly less interpolation blur);
+- the horizontal flip is a column mirror of the destination plane;
+- the random crop is an offset of the output grid;
+- all streams of the group are concatenated on the channel axis so the
+  triplet is warped by a single gather with identical random draws —
+  the reference's core synchronization invariant by construction.
+
+Input is uint8 NHWC straight from disk (4x less host->device traffic than
+float32); normalization to [-1,1] happens on device in the same kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from shadow_removal_istd_tpu.ops.warp import (
+    affine_warp,
+    invert_affine,
+    rotation_scale_matrix,
+)
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Random augmentation ranges (reference defaults: src/main.py:160-171).
+
+    scale: max relative scale jitter (draw from U[1-s, 1+s]).
+    angle: max rotation in degrees (draw from U[-a, a]).
+    flip_prob: probability of horizontal flip.
+    crop_size: output crop (rows == cols == crop_size).
+    """
+
+    scale: float = 0.05
+    angle: float = 15.0
+    flip_prob: float = 0.5
+    crop_size: int = 256
+
+
+def sample_augment_params(key: jax.Array, batch: int,
+                          image_shape: tuple[int, int],
+                          cfg: AugmentConfig) -> dict:
+    """Draw per-sample augmentation parameters for a batch.
+
+    One draw per sample per transform, shared across every stream of the
+    group (the reference draws once per __call__ over the whole tuple,
+    src/transform.py:67,91,109,141-142).
+    """
+    h, w = image_shape
+    k_scale, k_angle, k_flip, k_row, k_col = jax.random.split(key, 5)
+    scale = jax.random.uniform(
+        k_scale, (batch,), minval=1.0 - cfg.scale, maxval=1.0 + cfg.scale)
+    angle = jax.random.uniform(
+        k_angle, (batch,), minval=-cfg.angle, maxval=cfg.angle)
+    # Reference flips when rand() <= flip_prob (src/transform.py:109).
+    flip = jax.random.uniform(k_flip, (batch,)) <= cfg.flip_prob
+    # randint(low=0, high=size - crop) — exclusive high, like np.random.
+    row_off = jax.random.randint(k_row, (batch,), 0, max(h - cfg.crop_size, 1))
+    col_off = jax.random.randint(k_col, (batch,), 0, max(w - cfg.crop_size, 1))
+    return {"scale": scale, "angle": angle, "flip": flip,
+            "row_off": row_off, "col_off": col_off}
+
+
+def _augment_one(img: jnp.ndarray, scale, angle, flip, row_off, col_off,
+                 crop_size: int) -> jnp.ndarray:
+    """Fused warp+flip+crop of a single (H, W, C) image."""
+    h, w = img.shape[0], img.shape[1]
+    center = ((w - 1) / 2.0, (h - 1) / 2.0)
+    fwd = rotation_scale_matrix(angle, scale, center)
+    inv = invert_affine(fwd)
+    return affine_warp(
+        img, inv,
+        out_shape=(crop_size, crop_size),
+        offset=(row_off.astype(jnp.float32), col_off.astype(jnp.float32)),
+        flip=flip,
+    )
+
+
+def augment_batch(key: jax.Array, streams: tuple[jnp.ndarray, ...],
+                  cfg: AugmentConfig) -> tuple[jnp.ndarray, ...]:
+    """Augment a group of NHWC streams with synchronized random draws.
+
+    ``streams`` — e.g. (img NHW3 uint8, matte NHW1 uint8, target NHW3
+    uint8). Returns float32 crops in [-1, 1], same order.
+    """
+    batch = streams[0].shape[0]
+    h, w = streams[0].shape[1], streams[0].shape[2]
+    params = sample_augment_params(key, batch, (h, w), cfg)
+
+    # Concatenate every stream on channels: one gather warps the group.
+    splits = [s.shape[-1] for s in streams]
+    stacked = jnp.concatenate(
+        [s.astype(jnp.float32) for s in streams], axis=-1)
+
+    warped = jax.vmap(
+        _augment_one, in_axes=(0, 0, 0, 0, 0, 0, None)
+    )(stacked, params["scale"], params["angle"], params["flip"],
+      params["row_off"], params["col_off"], cfg.crop_size)
+
+    # uint8 [0,255] -> [-1, 1] (reference: uint2float then (x-0.5)*2,
+    # src/utils.py:60-62, src/dataset.py:149-153).
+    warped = warped * (2.0 / 255.0) - 1.0
+
+    out, start = [], 0
+    for c in splits:
+        out.append(warped[..., start:start + c])
+        start += c
+    return tuple(out)
+
+
+def normalize_batch(streams: tuple[jnp.ndarray, ...]) -> tuple:
+    """uint8 NHWC -> float32 [-1,1], no augmentation (validation path)."""
+    return tuple(s.astype(jnp.float32) * (2.0 / 255.0) - 1.0 for s in streams)
+
+
+def denormalize(img: jnp.ndarray) -> jnp.ndarray:
+    """[-1,1] float -> [0,1] float (reference: src/cgan.py:441-442)."""
+    return img * 0.5 + 0.5
+
+
+def float_to_uint8(img: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] float -> uint8 with clipping (reference: src/utils.py:65-67)."""
+    return (jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
