@@ -1,0 +1,187 @@
+"""Shared building blocks for the generator/discriminator zoo.
+
+Flax.linen modules in NHWC layout (TPU-native; the reference is NCHW
+torch). The blocks mirror the reference's layer factory semantics
+(reference: src/models/opt_layers.py):
+
+- ``act_norm``      — SELU *or* LeakyReLU(0.2) + BatchNorm
+                      (opt_layers.get_norm:21-26)
+- ``Upsample``      — nearest-x2 + 3x3 reflect conv (anti-checkerboard)
+                      *or* ConvTranspose(4,2,1) (opt_layers.get_upsample:39-56)
+- ``get_activation``— sigmoid / tanh / htanh / none (opt_layers.get_activation)
+- ``Dropout2d`` / ``AlphaDropout`` (opt_layers.get_dropout:29-36)
+
+BatchNorm matches torch defaults: eps 1e-5, running-stat momentum 0.1
+(flax ``momentum=0.9``), batch statistics in train mode. Under GSPMD data
+parallelism the batch statistics are computed over the *global* batch
+(XLA inserts the cross-replica reduction), which is strictly stronger
+than the reference's per-replica DataParallel BN.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def dcgan_kernel_init(stddev: float = 0.02):
+    """DCGAN N(0, 0.02) conv kernel init (reference: src/networks.py:19-30,
+    applied only by the old tree, STCGAN/stcgan.py:415-433)."""
+    return nn.initializers.normal(stddev=stddev)
+
+
+class ConvReflect(nn.Module):
+    """Conv2D with reflection padding (torch padding_mode='reflect')."""
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        if p > 0:
+            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+        return nn.Conv(self.features, self.kernel_size, self.strides,
+                       padding="VALID", use_bias=self.use_bias,
+                       kernel_init=self.kernel_init)(x)
+
+
+class Conv(nn.Module):
+    """Conv2D with zero padding (torch default padding_mode)."""
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        return nn.Conv(self.features, self.kernel_size, self.strides,
+                       padding=((p, p), (p, p)), use_bias=self.use_bias,
+                       kernel_init=self.kernel_init)(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch defaults (eps 1e-5, momentum 0.1)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(use_running_average=not train,
+                            momentum=0.9, epsilon=1e-5)(x)
+
+
+class ActNorm(nn.Module):
+    """SELU, or LeakyReLU(0.2) followed by BatchNorm.
+
+    Reference: opt_layers.get_norm — note the activation comes *before*
+    the normalization there, preserved here.
+    """
+
+    use_selu: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.use_selu:
+            return jax.nn.selu(x)
+        x = nn.leaky_relu(x, negative_slope=0.2)
+        return BatchNorm()(x, train)
+
+
+class Upsample(nn.Module):
+    """2x upsampling: nearest+3x3 reflect conv (no_conv_t=True, the
+    anti-checkerboard choice, reference src/main.py:282-288) or
+    ConvTranspose(4, stride 2, pad 1)."""
+
+    features: int
+    no_conv_t: bool = True
+    use_bias: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        if self.no_conv_t:
+            n, h, w, c = x.shape
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            return ConvReflect(self.features, (3, 3), (1, 1), padding=1,
+                               use_bias=self.use_bias,
+                               kernel_init=self.kernel_init)(x)
+        # 'SAME' reproduces torch ConvTranspose2d(4, stride=2, padding=1)
+        # geometry: out = 2*in with one row/col cropped from each side.
+        return nn.ConvTranspose(self.features, (4, 4), (2, 2),
+                                padding="SAME",
+                                use_bias=self.use_bias,
+                                kernel_init=self.kernel_init)(x)
+
+
+class Dropout2d(nn.Module):
+    """Channel dropout (torch nn.Dropout2d): zeroes whole feature maps."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.Dropout(self.rate, broadcast_dims=(1, 2),
+                          deterministic=not train)(x)
+
+
+class AlphaDropout(nn.Module):
+    """SELU-compatible alpha dropout (torch nn.AlphaDropout)."""
+
+    rate: float
+    alpha_prime: float = -1.7580993408473766  # -selu_alpha * selu_scale
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if not train or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        a = (keep + self.alpha_prime ** 2 * keep * (1 - keep)) ** -0.5
+        b = -a * self.alpha_prime * (1 - keep)
+        return a * jnp.where(mask, x, self.alpha_prime) + b
+
+
+def make_dropout(use_selu: bool, rate: float):
+    """Dropout factory (reference: opt_layers.get_dropout:29-36)."""
+    if rate == 0:
+        return None
+    return AlphaDropout(rate) if use_selu else Dropout2d(rate)
+
+
+def get_activation(key: str | None) -> Callable | None:
+    """Output activation by key (reference: opt_layers.get_activation)."""
+    if key is None or key == "none":
+        return None
+    if key == "sigmoid":
+        return jax.nn.sigmoid
+    if key == "tanh":
+        return jnp.tanh
+    if key == "htanh":
+        return lambda x: jnp.clip(x, -1.0, 1.0)
+    raise ValueError(f"unknown activation: {key}")
+
+
+def max_pool(x, window: int = 2):
+    """Max pool, stride == window (torch F.max_pool2d(x, 2))."""
+    return nn.max_pool(x, (window, window), strides=(window, window))
+
+
+def avg_pool(x, window: int = 2):
+    """Average pool, stride == window (torch nn.AvgPool2d(2))."""
+    return nn.avg_pool(x, (window, window), strides=(window, window))
+
+
+def upsample_nearest(x, factor: int = 2):
+    """Nearest-neighbour upsampling by an integer factor."""
+    return jnp.repeat(jnp.repeat(x, factor, axis=1), factor, axis=2)

@@ -1,0 +1,89 @@
+"""M-Net generator (SID, Le & Samaras ICCV'19) — the reference's default G.
+
+Architecture parity with reference src/models/mnet.py: a 4x4-stride-2
+reflect-conv stem, depth-4 encoder of (LeakyReLU -> 4x4s2 reflect conv ->
+BN) blocks with channels capped at 8*ngf, decoder of (LeakyReLU ->
+2x upsample -> BN) blocks whose outputs concatenate the *input* of the
+matching encoder block, and a final upsample back to input resolution
+with the output activation. Skip links carry the encoder block inputs
+(mnet.py:96 returns ``(model(x), x)``).
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+
+from shadow_removal_istd_tpu.models import layers as L
+import jax.numpy as jnp
+
+
+class _Down(nn.Module):
+    """LeakyReLU -> 4x4s2 reflect conv -> BN (reference mnet._conv_block)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = nn.leaky_relu(x, negative_slope=0.2)
+        y = L.ConvReflect(self.features, (4, 4), (2, 2), padding=1,
+                          use_bias=False)(y)
+        y = L.BatchNorm()(y, train)
+        return y, x  # link carries the block INPUT
+
+
+class _Up(nn.Module):
+    """LeakyReLU -> upsample -> BN, concat link (reference mnet._up_block)."""
+
+    features: int
+    no_conv_t: bool = True
+
+    @nn.compact
+    def __call__(self, x, link, train: bool):
+        y = nn.leaky_relu(x, negative_slope=0.2)
+        y = L.Upsample(self.features, no_conv_t=self.no_conv_t,
+                       use_bias=False)(y)
+        y = L.BatchNorm()(y, train)
+        return jnp.concatenate([y, link], axis=-1)
+
+
+class MNet(nn.Module):
+    """Depth-4 encoder-decoder; output at input resolution."""
+
+    out_channels: int
+    in_channels: int | None = None  # kept for API parity; inferred by flax
+    ngf: int = 64
+    drop_rate: float = 0.0
+    no_conv_t: bool = True
+    use_selu: bool = False  # accepted for registry parity (unused, as in ref)
+    activation: str | None = "tanh"
+    depth: int = 4
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        ngf, d = self.ngf, self.depth
+        # Encoder/decoder channel plan (reference mnet.py:45-65):
+        # down block i maps 2^min(i,3)*ngf -> 2^min(i+1,3)*ngf.
+        down_feats = [(2 ** min(i + 1, 3)) * ngf for i in range(d)]
+        up_feats = [(2 ** min(i, 3)) * ngf for i in range(d)]
+        # decoder input channels: innermost gets down_feats[-1]; others get
+        # 2 * down_feats[i] (upsampled concat from below).
+
+        x = L.ConvReflect(ngf, (4, 4), (2, 2), padding=1, use_bias=False)(x)
+
+        links = []
+        y = x
+        for i in range(d):
+            y, link = _Down(down_feats[i])(y, train)
+            links.append(link)
+
+        for i in reversed(range(d)):
+            y = _Up(up_feats[i], no_conv_t=self.no_conv_t)(y, links[i], train)
+            # Dropout on every skip level except the outermost
+            # (reference mnet.py:59-65: outer block drop_rate=0).
+            if i > 0 and self.drop_rate > 0:
+                y = L.Dropout2d(self.drop_rate)(y, train)
+
+        y = L.Upsample(self.out_channels, no_conv_t=self.no_conv_t,
+                       use_bias=False)(y)
+        act = L.get_activation(self.activation)
+        return act(y) if act is not None else y

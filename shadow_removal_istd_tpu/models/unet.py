@@ -1,0 +1,68 @@
+"""U-Net generator (brain-segmentation-pytorch style).
+
+Architecture parity with reference src/models/unet.py: depth-4 U-Net of
+double 3x3 reflect-conv blocks (each conv followed by LeakyReLU+BN or
+SELU), max-pool downsampling, 2x upsample + double conv on the skip
+concatenation, and a final 1x1 conv + activation. ngf=64 default.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from shadow_removal_istd_tpu.models import layers as L
+
+
+class _DoubleConv(nn.Module):
+    """conv3x3 -> act/norm -> conv3x3 -> act/norm (reference unet.conv)."""
+
+    features: int
+    use_selu: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = L.ConvReflect(self.features, (3, 3), padding=1, use_bias=False)(x)
+        x = L.ActNorm(self.use_selu)(x, train)
+        x = L.ConvReflect(self.features, (3, 3), padding=1, use_bias=False)(x)
+        x = L.ActNorm(self.use_selu)(x, train)
+        return x
+
+
+class UNet(nn.Module):
+    out_channels: int
+    in_channels: int | None = None
+    ngf: int = 64
+    drop_rate: float = 0.0
+    no_conv_t: bool = False
+    use_selu: bool = False
+    activation: str | None = "tanh"
+    depth: int = 4
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        ngf, d = self.ngf, self.depth
+
+        links = []
+        y = x
+        for i in range(d):  # encoder: conv block then pool; link = conv out
+            y = _DoubleConv(ngf * (2 ** i), self.use_selu)(y, train)
+            links.append(y)
+            y = L.max_pool(y, 2)
+
+        y = _DoubleConv(ngf * (2 ** d), self.use_selu)(y, train)  # bottleneck
+
+        for i in reversed(range(d)):  # decoder
+            y = L.Upsample(ngf * (2 ** i), no_conv_t=self.no_conv_t,
+                           use_bias=False)(y)
+            y = _DoubleConv(ngf * (2 ** i), self.use_selu)(
+                jnp.concatenate([y, links[i]], axis=-1), train)
+            # Inner skip levels carry dropout; the outermost does not
+            # (reference unet.py:40-49: outer block drop_rate=0).
+            if i > 0 and self.drop_rate > 0:
+                drop = L.make_dropout(self.use_selu, self.drop_rate)
+                y = drop(y, train)
+
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=False)(y)
+        act = L.get_activation(self.activation)
+        return act(y) if act is not None else y
