@@ -1,0 +1,267 @@
+"""Training / inference CLI.
+
+Preserves the reference's public flag surface (src/main.py:132-329): the
+same flag names, defaults, choices, args.json snapshot/reload, run-dir
+naming that encodes lr / D-type / D-loss (src/main.py:100-118), and
+seeding. A user of ``python -m src.main`` can switch to
+``python -m shadow_removal_istd_tpu.cli.main`` with the same command
+line.
+
+Differences, deliberate:
+- ``--devices`` selects JAX devices (e.g. "tpu", "cpu", or a count for
+  the data-parallel mesh) instead of CUDA ids; >1 device builds a mesh.
+- ``--load-args`` preserved-key list includes the comma the reference
+  is missing (src/main.py:29-30 fuses "load_args" "load_checkpoint"
+  into one string).
+- checkpoints save on multiples of --save-every (the reference's
+  ``if epoch % save_interval:`` saves on NON-multiples,
+  src/cgan.py:230-231).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import random
+import re
+import time
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+PRESERVED_ARGS = [
+    "load_args",
+    "load_checkpoint",
+    "load_weights_g1",
+    "load_weights_g2",
+    "load_weights_d1",
+    "load_weights_d2",
+    "weights", "logs",
+]
+
+
+def str2bool(v: str) -> bool:
+    return v.lower() in ("yes", "true", "t", "y", "1")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Training ST-CGAN model for shadow removal (TPU)")
+    parser.add_argument("--tasks", required=True, nargs="+",
+                        choices=["train", "infer"], type=str,
+                        help="the task to run (default: %(default)s)")
+    parser.add_argument("--devices", default=["tpu"],
+                        type=lambda s: re.split(", *| +", s),
+                        help="jax devices/platform (default: %(default)s)")
+    parser.add_argument("--batch-size", default=16, type=int)
+    parser.add_argument("--epochs", default=100000, type=int)
+    parser.add_argument("--data-dir", default=[],
+                        type=lambda s: re.split(", *| +", s),
+                        help="root folder(s) with images")
+    parser.add_argument("--workers", default=4, type=int,
+                        help="kept for CLI parity; the host pipeline is "
+                             "prefetch-based, not worker-based")
+    parser.add_argument("--image-size", default=256, type=int)
+    parser.add_argument("--aug-scale", default=0.05, type=float)
+    parser.add_argument("--aug-angle", default=15, type=int)
+    parser.add_argument("--net-G", default="mnet",
+                        choices=["unet", "mnet", "denseunet", "stcgan"])
+    parser.add_argument("--net-D", default="patchgan",
+                        choices=["patchgan", "began", "stcgan", "dummy"])
+    parser.add_argument("--ngf", default=64, type=int)
+    parser.add_argument("--ndf", default=64, type=int)
+    parser.add_argument("--droprate", default=0.05, type=float)
+    parser.add_argument("--lr-D", default=0.0001, type=float)
+    parser.add_argument("--lr-G", default=0.0005, type=float)
+    parser.add_argument("--decay", default=0.003, type=float)
+    parser.add_argument("--beta1", default=0.5, type=float)
+    parser.add_argument("--beta2", default=0.999, type=float)
+    parser.add_argument("--lambda1", default=5, type=float)
+    parser.add_argument("--lambda2", default=0.5, type=float)
+    parser.add_argument("--lambda3", default=0.5, type=float)
+    parser.add_argument("--lambda4", default=5, type=float)
+    parser.add_argument("--lambda5", default=50, type=float)
+    parser.add_argument("--manual_seed", default=38107943, type=int)
+    parser.add_argument("--load-weights-g1", default=None)
+    parser.add_argument("--load-weights-g2", default=None)
+    parser.add_argument("--load-weights-d1", default=None)
+    parser.add_argument("--load-weights-d2", default=None)
+    parser.add_argument("--load-args", default=None)
+    parser.add_argument("--load-checkpoint", default=None)
+    parser.add_argument("--D-loss-fn", default="standard",
+                        choices=["standard", "leastsquare"])
+    parser.add_argument("--D-type", default="normal",
+                        choices=["normal", "rel", "rel_avg"])
+    parser.add_argument("--softadapt", type=str2bool, default=False,
+                        const=True, nargs="?")
+    parser.add_argument("--SELU", type=str2bool, default=False,
+                        const=True, nargs="?")
+    parser.add_argument("--NN-upconv", type=str2bool, default=False,
+                        const=True, nargs="?")
+    parser.add_argument("--activation", default="tanh",
+                        choices=["none", "sigmoid", "tanh", "htanh"])
+    parser.add_argument("--log-every", default=3, type=int)
+    parser.add_argument("--valid-every", default=10, type=int)
+    parser.add_argument("--vis-every", default=50, type=int)
+    parser.add_argument("--save-every", default=50, type=int)
+    parser.add_argument("--weights", default="./weights")
+    parser.add_argument("--infered", default="./infered")
+    parser.add_argument("--logs", default="./logs")
+    # TPU-native extensions (not in the reference)
+    parser.add_argument("--vgg-weights", default=None,
+                        help="converted VGG19-BN .npz for the visual loss")
+    parser.add_argument("--loss-mode", default="reference",
+                        choices=["reference", "corrected"],
+                        help="reference-exact vs corrected adversarial "
+                             "loss flag semantics")
+    return parser
+
+
+def makedirs(args) -> None:
+    """Run-dir naming encoding hyperparameters (src/main.py:100-118)."""
+    arg_str = f"_lr{args.lr_G:.5f}_"
+    if args.D_type == "normal":
+        arg_str += ""
+    elif args.D_type == "rel":
+        arg_str += "Rp"
+    else:
+        arg_str += "Ra"
+    if args.D_loss_fn == "standard":
+        arg_str += "SGAN"
+    else:
+        arg_str += "LSGAN"
+    args.weights += arg_str
+    args.logs += arg_str
+    os.makedirs(args.logs, exist_ok=True)
+    if "train" in args.tasks:
+        os.makedirs(args.weights, exist_ok=True)
+    if "infer" in args.tasks:
+        os.makedirs(args.infered, exist_ok=True)
+
+
+def snapshotargs(args, filename: str = "args.json") -> None:
+    args_file = os.path.join(args.logs, filename)
+    with open(args_file, "w") as fp:
+        json.dump(vars(args), fp, indent=4, sort_keys=True)
+
+
+def load_args(args) -> None:
+    """--load-args: restore a previous run's flags, preserving the
+    load/output paths of the current invocation."""
+    with open(args.load_args, "r") as f:
+        arg_dict = json.load(f)
+    for k in PRESERVED_ARGS:
+        arg_dict.pop(k, None)
+    args.__dict__.update(arg_dict)
+
+
+def set_manual_seed(seed: int) -> None:
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def set_logger(log_file: str) -> None:
+    log_dir = os.path.dirname(log_file)
+    if log_dir and not os.path.exists(log_dir):
+        os.makedirs(log_dir)
+    fmt = logging.Formatter(
+        "%(asctime)s [%(module)s::%(funcName)s] %(levelname)s: %(message)s",
+        datefmt="%H:%M:%S")
+    root = logging.getLogger()
+    root.setLevel(logging.INFO)
+    fh = logging.FileHandler(log_file)
+    fh.setFormatter(fmt)
+    root.addHandler(fh)
+    ch = logging.StreamHandler()
+    ch.setFormatter(fmt)
+    root.addHandler(ch)
+
+
+def _select_mesh(devices: list[str], batch_size: int):
+    """Map --devices onto a JAX mesh (None = single default device).
+
+    The mesh size is capped to the largest divisor of the global batch
+    size so every device gets an equal shard.
+    """
+    import jax
+    from shadow_removal_istd_tpu.parallel.mesh import make_mesh
+
+    if devices and devices[0].isdigit():
+        want = int(devices[0])
+    else:
+        want = len(jax.devices())
+    n = min(want, len(jax.devices()), batch_size)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n) if n > 1 else None
+
+
+def main(args) -> None:
+    time_str = time.strftime("%Y%m%d-%H%M%S")
+    if args.load_args is not None:
+        load_args(args)
+    makedirs(args)
+    snapshotargs(args)
+    if args.manual_seed != -1:
+        set_manual_seed(args.manual_seed)
+    set_logger(os.path.join(args.logs, f"main-{time_str}.log"))
+    logger.info("Arguments: %s", args)
+
+    if "infer" in args.tasks and "train" not in args.tasks:
+        assert args.load_weights_g1 is not None or args.load_checkpoint, \
+            "inference needs --load-weights-g1/g2 or --load-checkpoint"
+        if args.load_checkpoint is None:
+            assert args.load_weights_g2 is not None
+
+    from shadow_removal_istd_tpu.engine import (
+        RunConfig,
+        TrainConfig,
+        Trainer,
+    )
+
+    cfg = TrainConfig(
+        net_g=args.net_G, net_d=args.net_D, ngf=args.ngf, ndf=args.ndf,
+        droprate=args.droprate, nn_upconv=args.NN_upconv,
+        use_selu=args.SELU, activation=args.activation,
+        lr_g=args.lr_G, lr_d=args.lr_D, decay=args.decay,
+        beta1=args.beta1, beta2=args.beta2,
+        lambda1=args.lambda1, lambda2=args.lambda2, lambda3=args.lambda3,
+        lambda4=args.lambda4, lambda5=args.lambda5,
+        d_loss_fn=args.D_loss_fn, d_type=args.D_type,
+        loss_mode=args.loss_mode, softadapt=args.softadapt,
+        image_size=args.image_size, batch_size=args.batch_size,
+        aug_scale=args.aug_scale, aug_angle=args.aug_angle,
+        use_visual_loss=args.vgg_weights is not None,
+    )
+    run = RunConfig(
+        data_dirs=tuple(args.data_dir),
+        logs_dir=args.logs, weights_dir=args.weights,
+        infered_dir=args.infered,
+        checkpoint_path=os.path.join(args.weights, "checkpoint.msgpack"),
+        log_every=args.log_every, valid_every=args.valid_every,
+        vis_every=args.vis_every, save_every=args.save_every,
+        seed=args.manual_seed if args.manual_seed != -1 else 0,
+        vgg_weights=args.vgg_weights, tasks=tuple(args.tasks),
+    )
+
+    trainer = Trainer(cfg, run,
+                      mesh=_select_mesh(args.devices, args.batch_size))
+    trainer.load_weights(g1=args.load_weights_g1, g2=args.load_weights_g2,
+                         d1=args.load_weights_d1, d2=args.load_weights_d2)
+    if args.load_checkpoint is not None:
+        if not os.path.isfile(args.load_checkpoint):
+            print(f"{args.load_checkpoint} is not a file")
+        else:
+            trainer.load(args.load_checkpoint)
+
+    if "train" in args.tasks:
+        trainer.train(args.epochs)
+    if "infer" in args.tasks:
+        trainer.infer()
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

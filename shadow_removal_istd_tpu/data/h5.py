@@ -1,0 +1,103 @@
+"""HDF5 ISTD dataset variant.
+
+Mirrors the reference's STCGAN/dataset_h5.py: groups ``<subset>`` with
+datasets ``input_img``, ``target_img``, ``sp`` (shadow parameters) and
+``filename``; per-sample normalization with the dataset's B,G,R
+statistics mean=(.54,.57,.57), std=(.14,.14,.14) (dataset_h5.py:16-18,
+47-48). Also provides a writer so the HDF5 file can be produced from the
+directory layout (the reference ships no builder).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+try:
+    import h5py
+except Exception:  # pragma: no cover
+    h5py = None
+
+# B, G, R (reference dataset_h5.py:16-18)
+ISTD_MEAN = np.array([0.54, 0.57, 0.57], dtype=np.float32)
+ISTD_STD = np.array([0.14, 0.14, 0.14], dtype=np.float32)
+
+
+def _require_h5py():
+    if h5py is None:
+        raise ImportError("h5py is required for the HDF5 dataset path")
+
+
+class ISTDH5Dataset:
+    """Reader for the HDF5 layout; returns float32 normalized arrays."""
+
+    def __init__(self, file: str, subset: str = "train"):
+        _require_h5py()
+        assert subset in ("train", "test")
+        self._h5 = h5py.File(file, "r")[subset]
+
+    def __len__(self) -> int:
+        return self._h5["filename"].shape[0]
+
+    def __getitem__(self, idx: int):
+        """(filename, input_img, target_img, sp) — HWC float32; images
+        mean/std normalized (reference dataset_h5.py:42-65)."""
+        img = np.asarray(self._h5["input_img"][idx], dtype=np.float32)
+        target = np.asarray(self._h5["target_img"][idx], dtype=np.float32)
+        sp = np.asarray(self._h5["sp"][idx], dtype=np.float32)
+        name = self._h5["filename"][idx]
+        if isinstance(name, bytes):
+            name = name.decode()
+        img = (img - ISTD_MEAN) / ISTD_STD
+        target = (target - ISTD_MEAN) / ISTD_STD
+        return name, img, target, sp
+
+    def load_all(self):
+        imgs = np.asarray(self._h5["input_img"], dtype=np.float32)
+        targets = np.asarray(self._h5["target_img"], dtype=np.float32)
+        sps = np.asarray(self._h5["sp"], dtype=np.float32)
+        imgs = (imgs - ISTD_MEAN) / ISTD_STD
+        targets = (targets - ISTD_MEAN) / ISTD_STD
+        return {"img": imgs, "target": targets, "sp": sps}
+
+
+def build_h5(out_path: str, root_dir: str, subsets=("train", "test"),
+             sp_dir: str | None = None) -> None:
+    """Build the HDF5 file from the ISTD directory layout.
+
+    ``sp`` is loaded from ``<root>/<subset>/sp/*.npy`` when present
+    (the output of tools/preprocess.py), else computed on the fly as
+    shadowless/shadowed (reference src/utils.py:45-47).
+    """
+    _require_h5py()
+    from shadow_removal_istd_tpu.data.istd import ISTDDataset
+    from shadow_removal_istd_tpu.tools.preprocess import compute_sp
+
+    with h5py.File(out_path, "w") as h5:
+        for subset in subsets:
+            ds = ISTDDataset(root_dir, subset=subset,
+                             datas=("img", "target"))
+            data = ds.load_all()
+            imgs = data["img"].astype(np.float32) / 255.0
+            targets = data["target"].astype(np.float32) / 255.0
+            sps = []
+            for i in range(len(ds)):
+                stem = os.path.basename(ds.filename(i))
+                npy = None
+                if sp_dir is not None:
+                    cand = os.path.join(sp_dir, subset, f"{stem}.npy")
+                    npy = cand if os.path.isfile(cand) else None
+                if npy is not None:
+                    sps.append(np.load(npy).astype(np.float32))
+                else:
+                    sps.append(compute_sp(data["img"][i],
+                                          data["target"][i]))
+            grp = h5.create_group(subset)
+            grp.create_dataset("input_img", data=imgs)
+            grp.create_dataset("target_img", data=targets)
+            grp.create_dataset("sp", data=np.stack(sps))
+            grp.create_dataset(
+                "filename",
+                data=np.array([ds.filename(i) for i in range(len(ds))],
+                              dtype=h5py.string_dtype()))

@@ -1,0 +1,104 @@
+"""Checkpointing: full train state + per-network weight files.
+
+Two mechanisms, mirroring the reference's semantics
+(src/cgan.py:466-523):
+
+1. Per-network weight files ``{G1,G2,D1,D2}_{ClassName}_{best|latest}``
+   (flax msgpack instead of torch .pt), loadable individually — the
+   ``--load-weights-*`` path.
+2. Full training state (step + params + both optimizer states + BN
+   stats + BEGAN k's) via orbax — the ``checkpoint.tar`` equivalent,
+   except the path is configurable (the reference hard-codes
+   ``./checkpoint.tar``, src/cgan.py:509) and the decay state restores
+   correctly (the reference restores decay_D twice and never decay_G,
+   src/cgan.py:521-522 — here the schedule is a pure function of the
+   restored step, so there is nothing to desynchronize).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+from flax import serialization
+
+from shadow_removal_istd_tpu.engine.state import Models, TrainState
+
+_NET_KEYS = {"G1": ("g_params", "g1"), "G2": ("g_params", "g2"),
+             "D1": ("d_params", "d1"), "D2": ("d_params", "d2")}
+
+
+def _net_filename(net: str, models: Models, suffix: str) -> str:
+    cls = {"G1": models.g1, "G2": models.g2,
+           "D1": models.d1, "D2": models.d2}[net].__class__.__name__
+    return f"{net}_{cls}_{suffix}.msgpack"
+
+
+def save_model_weights(state: TrainState, models: Models, weights_dir: str,
+                       suffix: str = "latest") -> list[str]:
+    """Write the four per-network weight files (params + batch stats)."""
+    os.makedirs(weights_dir, exist_ok=True)
+    written = []
+    for net, (group, key) in _NET_KEYS.items():
+        payload = {
+            "params": getattr(state, group)[key],
+            "batch_stats": state.batch_stats[key],
+        }
+        path = os.path.join(weights_dir, _net_filename(net, models, suffix))
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+        written.append(path)
+    return written
+
+
+def load_model_weights(state: TrainState, net: str, path: str) -> TrainState:
+    """Load one network's weights into the state (``--load-weights-*``)."""
+    group, key = _NET_KEYS[net.upper()]
+    target = {
+        "params": getattr(state, group)[key],
+        "batch_stats": state.batch_stats[key],
+    }
+    with open(path, "rb") as f:
+        payload = serialization.from_bytes(target, f.read())
+    new_group = dict(getattr(state, group))
+    new_group[key] = payload["params"]
+    new_stats = dict(state.batch_stats)
+    new_stats[key] = payload["batch_stats"]
+    return state.replace(**{group: new_group, "batch_stats": new_stats})
+
+
+def save_checkpoint(state: TrainState, path: str, epoch: int = 0) -> None:
+    """Full training state to one file (msgpack; epoch recorded)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = {"epoch": epoch, "state": jax.device_get(state)}
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def load_checkpoint(state: TrainState, path: str) -> tuple[TrainState, int]:
+    """Restore a full training state; returns (state, epoch)."""
+    target = {"epoch": 0, "state": state}
+    with open(path, "rb") as f:
+        payload = serialization.from_bytes(target, f.read())
+    return payload["state"], int(payload["epoch"])
+
+
+def save_checkpoint_orbax(state: TrainState, directory: str,
+                          step: int) -> None:
+    """Orbax checkpoint (sharded/async-capable path for large runs)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state))
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(state: TrainState, directory: str,
+                          step: int) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=jax.device_get(state))

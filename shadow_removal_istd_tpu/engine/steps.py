@@ -1,0 +1,290 @@
+"""Jitted train / eval / infer steps — the heart of the engine.
+
+One ``train_step(state, batch, rng) -> (state, metrics)`` expresses the
+reference's per-batch loop (src/cgan.py:265-380) as a single compiled
+function:
+
+- D phase: forward G1/G2 once, score D1 on (x,m) vs (x, sg(m_pred)) and
+  D2 on (x,m,y) vs (x, sg(m_pred), sg(y_pred)) — ``lax.stop_gradient``
+  where the reference calls ``.detach()`` — then Adam-update D1+D2
+  jointly (src/cgan.py:281-305).
+- G phase: re-score the *updated* discriminators on non-detached
+  predictions (the reference re-runs D after optim_D.step,
+  src/cgan.py:320-324) and Adam-update G1+G2 against
+  data1 + l1*data2 + l2*G1adv + l3*G2adv + l4*vis1 + l5*vis2
+  (src/cgan.py:343-351).
+- BEGAN mode swaps the adversarial terms for reconstruction losses with
+  k-balance control (src/cgan.py:290-297, 352-360).
+
+BatchNorm running stats are threaded through the same sequence of
+forwards as the reference executes (D sees 4 train-mode forwards per
+step, G sees 1 — the D-phase G forward reuses the same dropout keys so
+both phases see identical predictions).
+
+Everything static (models, config, loss flavour) is closed over; the
+returned functions are pure and jittable, and under a sharded batch the
+GSPMD partitioner turns them into the data-parallel step (psum'd grads,
+global-batch BN) with no code changes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from shadow_removal_istd_tpu.engine.config import TrainConfig
+from shadow_removal_istd_tpu.engine.state import (
+    Models,
+    TrainState,
+    make_optimizers,
+)
+from shadow_removal_istd_tpu.losses import (
+    began_k_update,
+    l1_loss,
+    make_adversarial_loss,
+    visual_loss,
+)
+
+
+def _apply(model, params, stats, x, *, train: bool, rng=None):
+    """Apply a model, returning (output, new_batch_stats)."""
+    variables: dict = {"params": params}
+    has_stats = bool(stats)
+    if has_stats:
+        variables["batch_stats"] = stats
+    rngs = {"dropout": rng} if rng is not None else None
+    if train:
+        out, updates = model.apply(variables, x, train=True,
+                                   mutable=["batch_stats"], rngs=rngs)
+        return out, updates.get("batch_stats", stats)
+    out = model.apply(variables, x, train=False, rngs=rngs)
+    return out, stats
+
+
+def _cat(*tensors):
+    return jnp.concatenate(tensors, axis=-1)
+
+
+def make_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
+    """Build the jitted training step."""
+    adv = make_adversarial_loss(cfg.d_loss_fn, cfg.d_type, cfg.loss_mode)
+    tx_g, tx_d = make_optimizers(cfg)
+    use_vis = cfg.use_visual_loss and vgg_vars is not None \
+        and (cfg.lambda4 != 0 or cfg.lambda5 != 0)
+
+    def _vis(pred, target):
+        if not use_vis:
+            return jnp.zeros(())
+        return visual_loss(vgg_vars, pred, target)
+
+    def train_step(state: TrainState, batch, rng):
+        x, m, y = batch
+        kg1, kg2 = jax.random.split(rng)
+
+        # ---- G forward once; same dropout keys as the G phase so both
+        # phases see identical predictions (reference computes them once,
+        # src/cgan.py:282-286).
+        m_pred0, _ = _apply(models.g1, state.g_params["g1"],
+                            state.batch_stats["g1"], x, train=True, rng=kg1)
+        y_pred0, _ = _apply(models.g2, state.g_params["g2"],
+                            state.batch_stats["g2"], _cat(x, m_pred0),
+                            train=True, rng=kg2)
+        m_sg = jax.lax.stop_gradient(m_pred0)
+        y_sg = jax.lax.stop_gradient(y_pred0)
+
+        # ---- D phase ------------------------------------------------
+        def d_loss_fn(d_params):
+            s1, s2 = state.batch_stats["d1"], state.batch_stats["d2"]
+            c1_real, s1 = _apply(models.d1, d_params["d1"], s1,
+                                 _cat(x, m), train=True)
+            c1_fake, s1 = _apply(models.d1, d_params["d1"], s1,
+                                 _cat(x, m_sg), train=True)
+            c2_real, s2 = _apply(models.d2, d_params["d2"], s2,
+                                 _cat(x, m, y), train=True)
+            c2_fake, s2 = _apply(models.d2, d_params["d2"], s2,
+                                 _cat(x, m_sg, y_sg), train=True)
+            if cfg.began:
+                d1_real_l = l1_loss(c1_real, m)
+                d1_fake_l = l1_loss(c1_fake, m_sg)
+                d1 = d1_real_l - state.k1 * d1_fake_l
+                d2_real_l = l1_loss(c2_real, y)
+                d2_fake_l = l1_loss(c2_fake, y_sg)
+                d2 = d2_real_l - state.k2 * d2_fake_l
+            else:
+                d1 = adv.d_loss(c1_real, c1_fake)
+                d2 = adv.d_loss(c2_real, c2_fake)
+                d1_real_l = d1_fake_l = d2_real_l = d2_fake_l = jnp.zeros(())
+            d_total = cfg.lambda2 * d1 + cfg.lambda3 * d2
+            aux = {
+                "stats": (s1, s2),
+                "D1": d1, "D2": d2, "D": d_total,
+                "D1_real": c1_real.mean(), "D1_fake": c1_fake.mean(),
+                "D2_real": c2_real.mean(), "D2_fake": c2_fake.mean(),
+                "began": (d1_real_l, d1_fake_l, d2_real_l, d2_fake_l),
+            }
+            return d_total, aux
+
+        (_, d_aux), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        d_updates, opt_d = tx_d.update(d_grads, state.opt_d, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+        stats_d1, stats_d2 = d_aux["stats"]
+
+        # ---- G phase (against the updated D) -------------------------
+        def g_loss_fn(g_params):
+            m_pred, s_g1 = _apply(models.g1, g_params["g1"],
+                                  state.batch_stats["g1"], x,
+                                  train=True, rng=kg1)
+            y_pred, s_g2 = _apply(models.g2, g_params["g2"],
+                                  state.batch_stats["g2"],
+                                  _cat(x, m_pred), train=True, rng=kg2)
+            s1, s2 = stats_d1, stats_d2
+            c1_real, s1 = _apply(models.d1, d_params["d1"], s1,
+                                 _cat(x, m), train=True)
+            c1_fake, s1 = _apply(models.d1, d_params["d1"], s1,
+                                 _cat(x, m_pred), train=True)
+            c2_real, s2 = _apply(models.d2, d_params["d2"], s2,
+                                 _cat(x, m, y), train=True)
+            c2_fake, s2 = _apply(models.d2, d_params["d2"], s2,
+                                 _cat(x, m_pred, y_pred), train=True)
+            if cfg.began:
+                g1 = l1_loss(c1_fake, jax.lax.stop_gradient(m_pred))
+                g2 = l1_loss(c2_fake, jax.lax.stop_gradient(y_pred))
+            else:
+                g1 = adv.g_loss(c1_real, c1_fake)
+                g2 = adv.g_loss(c2_real, c2_fake)
+            data1 = l1_loss(m_pred, m)
+            data2 = l1_loss(y_pred, y)
+            vis1 = _vis(m_pred, m)
+            vis2 = _vis(y_pred, y)
+            g_total = (data1 + cfg.lambda1 * data2
+                       + cfg.lambda2 * g1 + cfg.lambda3 * g2
+                       + cfg.lambda4 * vis1 + cfg.lambda5 * vis2)
+            aux = {
+                "stats": ({"g1": s_g1, "g2": s_g2}, (s1, s2)),
+                "G1": g1, "G2": g2, "data1": data1, "data2": data2,
+                "vis1": vis1, "vis2": vis2, "G": g_total,
+            }
+            return g_total, aux
+
+        (_, g_aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        g_stats, (stats_d1, stats_d2) = g_aux["stats"]
+        new_stats = {"g1": g_stats["g1"], "g2": g_stats["g2"],
+                     "d1": stats_d1, "d2": stats_d2}
+
+        # BEGAN k balance (reference src/cgan.py:352-360)
+        if cfg.began:
+            d1r, d1f, d2r, d2f = d_aux["began"]
+            k1 = began_k_update(state.k1, d1r, d1f)
+            k2 = began_k_update(state.k2, d2r, d2f)
+        else:
+            k1, k2 = state.k1, state.k2
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params, d_params=d_params,
+            batch_stats=new_stats, opt_g=opt_g, opt_d=opt_d,
+            k1=k1, k2=k2)
+
+        metrics = {
+            "G": g_aux["G"], "G1": g_aux["G1"], "G2": g_aux["G2"],
+            "D": d_aux["D"], "D1": d_aux["D1"], "D2": d_aux["D2"],
+            "data1": g_aux["data1"], "data2": g_aux["data2"],
+            "vis1": g_aux["vis1"], "vis2": g_aux["vis2"],
+            "D1_real": d_aux["D1_real"], "D1_fake": d_aux["D1_fake"],
+            "D2_real": d_aux["D2_real"], "D2_fake": d_aux["D2_fake"],
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(models: Models, cfg: TrainConfig, vgg_vars=None,
+                   return_preds: bool = False):
+    """Validation step: eval-mode forwards, no updates, same loss set.
+
+    Mirrors the reference's ``run_epoch(training=False)``
+    (src/cgan.py:244-251, 276-348): running BN stats, no dropout, the G
+    adversarial terms computed from the D-phase scores.
+    """
+    adv = make_adversarial_loss(cfg.d_loss_fn, cfg.d_type, cfg.loss_mode)
+    use_vis = cfg.use_visual_loss and vgg_vars is not None \
+        and (cfg.lambda4 != 0 or cfg.lambda5 != 0)
+
+    def _vis(pred, target):
+        if not use_vis:
+            return jnp.zeros(())
+        return visual_loss(vgg_vars, pred, target)
+
+    def eval_step(state: TrainState, batch):
+        x, m, y = batch
+        m_pred, _ = _apply(models.g1, state.g_params["g1"],
+                           state.batch_stats["g1"], x, train=False)
+        y_pred, _ = _apply(models.g2, state.g_params["g2"],
+                           state.batch_stats["g2"], _cat(x, m_pred),
+                           train=False)
+        c1_real, _ = _apply(models.d1, state.d_params["d1"],
+                            state.batch_stats["d1"], _cat(x, m), train=False)
+        c1_fake, _ = _apply(models.d1, state.d_params["d1"],
+                            state.batch_stats["d1"], _cat(x, m_pred),
+                            train=False)
+        c2_real, _ = _apply(models.d2, state.d_params["d2"],
+                            state.batch_stats["d2"], _cat(x, m, y),
+                            train=False)
+        c2_fake, _ = _apply(models.d2, state.d_params["d2"],
+                            state.batch_stats["d2"],
+                            _cat(x, m_pred, y_pred), train=False)
+        if cfg.began:
+            d1 = l1_loss(c1_real, m) - state.k1 * l1_loss(c1_fake, m_pred)
+            d2 = l1_loss(c2_real, y) - state.k2 * l1_loss(c2_fake, y_pred)
+            g1 = l1_loss(c1_fake, m_pred)
+            g2 = l1_loss(c2_fake, y_pred)
+        else:
+            d1 = adv.d_loss(c1_real, c1_fake)
+            d2 = adv.d_loss(c2_real, c2_fake)
+            g1 = adv.g_loss(c1_real, c1_fake)
+            g2 = adv.g_loss(c2_real, c2_fake)
+        data1 = l1_loss(m_pred, m)
+        data2 = l1_loss(y_pred, y)
+        vis1 = _vis(m_pred, m)
+        vis2 = _vis(y_pred, y)
+        g_total = (data1 + cfg.lambda1 * data2 + cfg.lambda2 * g1
+                   + cfg.lambda3 * g2 + cfg.lambda4 * vis1
+                   + cfg.lambda5 * vis2)
+        d_total = cfg.lambda2 * d1 + cfg.lambda3 * d2
+        metrics = {
+            "G": g_total, "G1": g1, "G2": g2,
+            "D": d_total, "D1": d1, "D2": d2,
+            "data1": data1, "data2": data2, "vis1": vis1, "vis2": vis2,
+            # model-selection proxy (reference src/cgan.py:399)
+            "total": 0.8 * g_total + 0.2 * d_total,
+            "D1_real": c1_real.mean(), "D1_fake": c1_fake.mean(),
+            "D2_real": c2_real.mean(), "D2_fake": c2_fake.mean(),
+        }
+        if return_preds:
+            return metrics, (m_pred, y_pred)
+        return metrics
+
+    return jax.jit(eval_step)
+
+
+def make_infer_step(models: Models):
+    """Inference: m_pred = G1(x); y_pred = G2(x ++ m_pred), eval mode
+    (reference src/cgan.py:436-438)."""
+
+    def infer_step(g_params, batch_stats, x):
+        m_pred, _ = _apply(models.g1, g_params["g1"], batch_stats["g1"], x,
+                           train=False)
+        y_pred, _ = _apply(models.g2, g_params["g2"], batch_stats["g2"],
+                           _cat(x, m_pred), train=False)
+        return m_pred, y_pred
+
+    return jax.jit(infer_step)

@@ -1,0 +1,21 @@
+"""Device mesh, GSPMD shardings, and host->device prefetch.
+
+This replaces the reference's single-process ``nn.DataParallel``
+(src/cgan.py:78-84) with the TPU-native story: a named
+``jax.sharding.Mesh`` over all chips, batches sharded on the "data"
+axis, parameters replicated, and XLA inserting the gradient psum and
+global-batch BatchNorm collectives over ICI automatically under jit.
+Multi-host pods initialize via ``jax.distributed`` (DCN between hosts).
+"""
+
+from shadow_removal_istd_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    distributed_init,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+    shard_state,
+)
+from shadow_removal_istd_tpu.parallel.prefetch import (  # noqa: F401
+    prefetch_to_device,
+)

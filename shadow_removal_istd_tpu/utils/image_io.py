@@ -1,0 +1,52 @@
+"""Image IO in the reference's conventions.
+
+The reference reads with OpenCV, so training tensors are BGR uint8
+(src/dataset.py:100) and outputs are written BGR (src/cgan.py:453-460).
+We use cv2 when available and fall back to PIL with an explicit channel
+swap so the on-disk and in-memory conventions stay identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2 as _cv
+except Exception:  # pragma: no cover - cv2 is present in this image
+    _cv = None
+
+if _cv is None:
+    from PIL import Image
+
+
+def imread_color(path: str) -> np.ndarray:
+    """Read an image as HxWx3 uint8 in BGR order (cv2 convention)."""
+    if _cv is not None:
+        img = _cv.imread(path, _cv.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img
+    img = np.asarray(Image.open(path).convert("RGB"))
+    return img[..., ::-1].copy()  # RGB -> BGR
+
+
+def imread_gray(path: str) -> np.ndarray:
+    """Read an image as HxW uint8 grayscale."""
+    if _cv is not None:
+        img = _cv.imread(path, _cv.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img
+    return np.asarray(Image.open(path).convert("L"))
+
+
+def imwrite(path: str, img: np.ndarray) -> None:
+    """Write a uint8 image; 3-channel input is interpreted as BGR."""
+    if _cv is not None:
+        ok = _cv.imwrite(path, img)
+        if not ok:
+            raise IOError(f"failed to write {path}")
+        return
+    if img.ndim == 3:
+        img = img[..., ::-1]  # BGR -> RGB
+    Image.fromarray(img).save(path)

@@ -1,0 +1,108 @@
+"""Data layer tests: ISTD directory reader, pipeline, device cache, h5."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from shadow_removal_istd_tpu.data import (
+    BatchPipeline,
+    DeviceDatasetCache,
+    ISTDDataset,
+    synthetic_triplets,
+    write_istd_layout,
+)
+
+
+@pytest.fixture(scope="module")
+def istd_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("istd"))
+    write_istd_layout(root, n_train=4, n_test=2, h=48, w=64)
+    return root
+
+
+class TestISTDDataset:
+    def test_layout_and_alignment(self, istd_root):
+        ds = ISTDDataset(istd_root, "train",
+                         datas=("img", "target", "matte"))
+        assert len(ds) == 4
+        name, *arrays = ds[0]
+        # sorted stream order: img, matte, target
+        assert ds.streams == ("img", "matte", "target")
+        assert arrays[0].shape == (48, 64, 3)   # img BGR
+        assert arrays[1].shape == (48, 64, 1)   # matte gray
+        assert arrays[2].shape == (48, 64, 3)   # target
+        assert all(a.dtype == np.uint8 for a in arrays)
+
+    def test_load_all_stacks(self, istd_root):
+        ds = ISTDDataset(istd_root, "test", datas=("img", "mask"))
+        data = ds.load_all()
+        assert data["img"].shape == (2, 48, 64, 3)
+        assert data["mask"].shape == (2, 48, 64, 1)
+
+    def test_preload_equals_lazy(self, istd_root):
+        lazy = ISTDDataset(istd_root, "train", datas=("img",))
+        pre = ISTDDataset(istd_root, "train", datas=("img",), preload=True)
+        np.testing.assert_array_equal(lazy[1][1], pre[1][1])
+
+    def test_name_prefix(self, istd_root):
+        ds = ISTDDataset(istd_root, "test", datas=("img",), name="ISTD")
+        assert ds.filename(0).startswith("ISTD" + os.sep)
+
+    def test_missing_dir_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            ISTDDataset(str(tmp_path), "train", datas=("img",))
+
+
+class TestBatchPipeline:
+    def test_epoch_batches(self):
+        data = synthetic_triplets(6, 32, 32)
+        pipe = BatchPipeline({k: data[k] for k in ("img", "matte", "target")},
+                             batch_size=4, shuffle=True, drop_last=True)
+        batches = list(pipe.epoch())
+        assert len(batches) == len(pipe) == 1
+        assert batches[0][0].shape == (4, 32, 32, 3)
+
+    def test_no_drop_last(self):
+        data = synthetic_triplets(6, 16, 16)
+        pipe = BatchPipeline({"img": data["img"]}, batch_size=4,
+                             shuffle=False, drop_last=False)
+        batches = list(pipe.epoch())
+        assert [b[0].shape[0] for b in batches] == [4, 2]
+
+    def test_shuffle_covers_all(self):
+        data = {"img": np.arange(8, dtype=np.uint8).reshape(8, 1, 1, 1)}
+        pipe = BatchPipeline(data, batch_size=8, shuffle=True)
+        (batch,) = list(pipe.epoch())
+        assert sorted(batch[0].ravel().tolist()) == list(range(8))
+
+
+class TestDeviceCache:
+    def test_gather_roundtrip(self):
+        data = synthetic_triplets(6, 16, 16)
+        cache = DeviceDatasetCache(
+            {k: data[k] for k in ("img", "matte", "target")})
+        idx = cache.epoch_indices(jax.random.key(0), batch_size=3)
+        assert idx.shape == (2, 3)
+        batch = cache.gather(idx[0])
+        assert batch[0].shape == (3, 16, 16, 3)
+        # gathered rows match the host arrays
+        got = np.asarray(batch[0])
+        want = data["img"][np.asarray(idx[0])]
+        np.testing.assert_array_equal(got, want)
+
+
+class TestH5:
+    def test_build_and_read(self, istd_root, tmp_path):
+        h5py = pytest.importorskip("h5py")  # noqa: F841
+        from shadow_removal_istd_tpu.data.h5 import ISTDH5Dataset, build_h5
+        path = str(tmp_path / "istd.h5")
+        build_h5(path, istd_root, subsets=("train", "test"))
+        ds = ISTDH5Dataset(path, "train")
+        assert len(ds) == 4
+        name, img, target, sp = ds[0]
+        assert img.shape == (48, 64, 3) and img.dtype == np.float32
+        assert sp.shape == (48, 64, 3)
+        # normalization applied: values not in [0,1] anymore
+        assert img.min() < 0
