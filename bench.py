@@ -8,6 +8,13 @@ benchmark numbers (README.md has none; BASELINE.json "published" is
 empty), so ``vs_baseline`` is computed against a documented estimate of
 the reference's GPU throughput.
 
+Measurement notes:
+- a lax.scan over micro-batches inside one jit call amortizes the
+  per-call host round-trip (the TPU tunnel adds ~25ms per dispatch);
+- each timed iteration ends in a scalar host readback —
+  ``block_until_ready`` is not a reliable sync point through the
+  experimental axon platform.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
 """
@@ -18,16 +25,21 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/srit_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 # Estimated reference throughput: PyTorch MNet G1+G2 (12.4M params each,
 # fp32, NCHW) at 256^2 on a single V100/2080Ti-class GPU is ~100-150
 # img/s for batched inference. No published number exists in the
 # reference repo; 120 img/s is the documented working estimate.
 ESTIMATED_REFERENCE_GPU_IPS = 120.0
 
-BATCH = 32
+STEPS = 16      # micro-batches per jit call (scan)
+BATCH = 64
 SIZE = 256
-WARMUP = 3
-ITERS = 15
+WARMUP = 2
+ITERS = 5
 
 
 def build():
@@ -36,39 +48,45 @@ def build():
     g1 = get_generator("mnet", in_channels=3, out_channels=1)
     g2 = get_generator("mnet", in_channels=4, out_channels=3)
     k = jax.random.key(0)
-    v1 = g1.init({"params": k}, jnp.zeros((1, SIZE, SIZE, 3)))
-    v2 = g2.init({"params": k}, jnp.zeros((1, SIZE, SIZE, 4)))
-    # bf16 weights + activations: the MXU-native inference configuration
-    cast = lambda t: jax.tree.map(  # noqa: E731
-        lambda a: a.astype(jnp.bfloat16)
-        if a.dtype == jnp.float32 else a, t)
-    v1, v2 = cast(v1), cast(v2)
+    # materialize params from shapes only (values don't affect timing);
+    # running the real init forward would cost minutes of compile on a
+    # cold cache.
+    s1 = jax.eval_shape(g1.init, {"params": k},
+                        jnp.zeros((1, SIZE, SIZE, 3)))
+    s2 = jax.eval_shape(g2.init, {"params": k},
+                        jnp.zeros((1, SIZE, SIZE, 4)))
+    fill = lambda tree: jax.tree.map(  # noqa: E731
+        lambda s: (jnp.full(s.shape, 0.01, jnp.bfloat16)
+                   if s.dtype == jnp.float32
+                   else jnp.zeros(s.shape, s.dtype)), tree)
+    v1, v2 = fill(s1), fill(s2)
 
     @jax.jit
-    def stacked(v1, v2, x):
-        m = g1.apply(v1, x)
-        y = g2.apply(v2, jnp.concatenate([x, m], axis=-1))
-        # scalar checksum: forces full execution; block_until_ready is
-        # not a reliable sync point through the experimental TPU tunnel.
-        return jnp.sum(y.astype(jnp.float32)) + jnp.sum(
-            m.astype(jnp.float32))
+    def scanned(v1, v2, xs):
+        def body(acc, x):
+            m = g1.apply(v1, x)
+            y = g2.apply(v2, jnp.concatenate([x, m], axis=-1))
+            return acc + jnp.sum(y.astype(jnp.float32)), None
+        total, _ = jax.lax.scan(body, jnp.zeros(()), xs)
+        return total
 
-    x = jax.random.uniform(jax.random.key(1),
-                           (BATCH, SIZE, SIZE, 3), jnp.bfloat16) * 2 - 1
-    return stacked, v1, v2, x
+    xs = jax.random.uniform(
+        jax.random.key(1), (STEPS, BATCH, SIZE, SIZE, 3),
+        jnp.bfloat16) * 2 - 1
+    return scanned, v1, v2, xs
 
 
 def main():
-    stacked, v1, v2, x = build()
+    scanned, v1, v2, xs = build()
     for _ in range(WARMUP):
-        float(stacked(v1, v2, x))  # host readback = hard sync
+        float(scanned(v1, v2, xs))  # host readback = hard sync
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        float(stacked(v1, v2, x))
+        float(scanned(v1, v2, xs))
     dt = time.perf_counter() - t0
 
-    ips = ITERS * BATCH / dt
+    ips = ITERS * STEPS * BATCH / dt
     print(json.dumps({
         "metric": "stacked G1+G2 inference images/sec @256x256 (bf16)",
         "value": round(ips, 2),
