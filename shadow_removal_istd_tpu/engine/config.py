@@ -48,6 +48,16 @@ class TrainConfig:
     aug_scale: float = 0.05
     aug_angle: float = 15.0
 
+    # legacy-tree options (reference STCGAN/stcgan.py)
+    lr_schedule: str = "exponential"   # or "plateau" (ReduceLROnPlateau)
+    aug_resize: tuple | None = None    # train resize before aug, (h, w)
+    valid_resize: tuple | None = None  # validation resize, (h, w)
+    infer_resize: tuple | None = None  # inference output resize, (h, w)
+    dcgan_init: bool = False           # DCGAN N(0,.02) weight init
+    dcgan_bn_compat: bool = False      # reproduce the reference's BN
+    # scale ~ N(0,.02) (src/networks.py:22-25 as written)
+    train_datas: tuple = ("img", "target", "matte")  # stream selection
+
     # runtime
     steps_per_epoch: int = 1      # for the per-epoch lr decay schedule
     use_visual_loss: bool = True  # needs VGG variables

@@ -115,8 +115,28 @@ class Trainer:
         self.models: Models = build_models(self.cfg)
         self.rng, init_key = jax.random.split(self.rng)
         self.state: TrainState = init_state(init_key, self.cfg, self.models)
+        if self.cfg.dcgan_init:
+            # the legacy tree applies DCGAN init when no weights are
+            # loaded (reference STCGAN/stcgan.py:408-433)
+            from shadow_removal_istd_tpu.models.layers import (
+                apply_dcgan_init,
+            )
+            self.rng, k1, k2 = jax.random.split(self.rng, 3)
+            bn_mean = 0.0 if self.cfg.dcgan_bn_compat else 1.0
+            self.state = self.state.replace(
+                g_params=apply_dcgan_init(k1, self.state.g_params, bn_mean),
+                d_params=apply_dcgan_init(k2, self.state.d_params, bn_mean))
         if mesh is not None:
             self.state = shard_state(mesh, self.state)
+
+        # legacy ReduceLROnPlateau controllers (host-side)
+        self.plateau_g = self.plateau_d = None
+        if self.cfg.lr_schedule == "plateau":
+            from shadow_removal_istd_tpu.engine.schedules import (
+                ReduceLROnPlateau,
+            )
+            self.plateau_g = ReduceLROnPlateau(self.cfg.lr_g)
+            self.plateau_d = ReduceLROnPlateau(self.cfg.lr_d)
 
         vgg_vars = None
         if run.vgg_weights and os.path.isfile(run.vgg_weights):
@@ -134,10 +154,22 @@ class Trainer:
         self.infer_step = make_infer_step(self.models)
         self.aug_cfg = AugmentConfig(
             scale=self.cfg.aug_scale, angle=self.cfg.aug_angle,
-            flip_prob=0.5, crop_size=self.cfg.image_size)
+            flip_prob=0.5, crop_size=self.cfg.image_size,
+            resize=self.cfg.aug_resize)
         self._augment = jax.jit(
             lambda k, s: augment_batch(k, s, self.aug_cfg))
-        self._normalize = jax.jit(normalize_batch)
+
+        valid_resize = self.cfg.valid_resize
+
+        def _norm(streams):
+            if valid_resize is not None:
+                from shadow_removal_istd_tpu.ops.resize import resize
+                streams = tuple(
+                    resize(s.astype(jnp.float32), valid_resize)
+                    for s in streams)
+            return normalize_batch(streams)
+
+        self._normalize = jax.jit(_norm)
 
         self.start_epoch = 0
         self.best_loss = float("inf")
@@ -146,7 +178,7 @@ class Trainer:
     # ------------------------------------------------------------ data
     def _load_dirs(self):
         train_parts, valid_parts, names = [], [], []
-        datas = ("img", "target", "matte")
+        datas = self.cfg.train_datas
         for d in self.run.data_dirs:
             name = os.path.basename(os.path.normpath(d))
             tr = ISTDDataset(d, "train", datas=datas, name=name)
@@ -199,28 +231,38 @@ class Trainer:
 
     def run_train_epoch(self, epoch: int, log_scalars: bool = False,
                         visualize: bool = False):
-        sums = {k: 0.0 for k in _METRIC_KEYS}
-        outs = {"D1_real": 0.0, "D1_fake": 0.0,
-                "D2_real": 0.0, "D2_fake": 0.0}
-        n = 0
+        need_sums = (log_scalars or visualize
+                     or self.plateau_g is not None)
+        collected = []  # lazy device arrays; one device_get at epoch end
         vis_batch = None
+        scale_g = self.plateau_g.scale if self.plateau_g else 1.0
+        scale_d = self.plateau_d.scale if self.plateau_d else 1.0
         for raw in self.train_pipe.epoch():
             self.rng, k_aug, k_step = jax.random.split(self.rng, 3)
             batch = self._augment(k_aug, self._place(raw))
-            self.state, metrics = self.train_step(self.state, batch, k_step)
-            if log_scalars or visualize:
-                metrics = jax.device_get(metrics)
-                for k in _METRIC_KEYS:
-                    sums[k] += float(metrics[k])
-                for k in outs:
-                    outs[k] += float(metrics[k])
-                n += 1
+            self.state, metrics = self.train_step(
+                self.state, batch, k_step, scale_g, scale_d)
+            if need_sums:
+                collected.append(metrics)
                 if vis_batch is None:
                     vis_batch = batch
-        if log_scalars and n:
-            self._log_scalars("train", epoch, sums, outs, n)
-            ckpt.save_model_weights(self.state, self.models,
-                                    self.run.weights_dir, "latest")
+        n = len(collected)
+        if need_sums and n:
+            got = jax.device_get(collected)
+            sums = {k: float(np.sum([m[k] for m in got]))
+                    for k in _METRIC_KEYS}
+            outs = {k: float(np.sum([m[k] for m in got]))
+                    for k in ("D1_real", "D1_fake", "D2_real", "D2_fake")}
+            if self.plateau_g is not None:
+                # the legacy scheduler steps on the SUMMED epoch losses
+                # (reference STCGAN/stcgan.py:315-317 steps before the
+                # per-batch normalization)
+                self.plateau_g.step(sums["G"])
+                self.plateau_d.step(sums["D"])
+            if log_scalars:
+                self._log_scalars("train", epoch, sums, outs, n)
+                ckpt.save_model_weights(self.state, self.models,
+                                        self.run.weights_dir, "latest")
         if visualize and vis_batch is not None:
             self._log_images("train", epoch, vis_batch)
 
@@ -292,10 +334,16 @@ class Trainer:
             x = batch[0]
             m_pred, y_pred = self.infer_step(self.state.g_params,
                                              self.state.batch_stats, x)
-            m_np = np.asarray(jax.device_get(
-                float_to_uint8(denormalize(m_pred))))
-            y_np = np.asarray(jax.device_get(
-                float_to_uint8(denormalize(y_pred))))
+            m_pred = denormalize(m_pred)
+            y_pred = denormalize(y_pred)
+            if self.cfg.infer_resize is not None:
+                # legacy tree resizes outputs to 256x192 before writing
+                # (reference STCGAN/stcgan.py:366-373)
+                from shadow_removal_istd_tpu.ops.resize import resize_linear
+                m_pred = resize_linear(m_pred, self.cfg.infer_resize)
+                y_pred = resize_linear(y_pred, self.cfg.infer_resize)
+            m_np = np.asarray(jax.device_get(float_to_uint8(m_pred)))
+            y_np = np.asarray(jax.device_get(float_to_uint8(y_pred)))
             for i in range(m_np.shape[0]):
                 name = (self.valid_names[idx] if idx < len(self.valid_names)
                         else f"{idx:05d}")

@@ -37,6 +37,7 @@ class TrainState(struct.PyTreeNode):
     opt_d: optax.OptState
     k1: jnp.ndarray         # BEGAN balance terms (reference src/cgan.py:211)
     k2: jnp.ndarray
+    softadapt: Any = None   # SoftAdaptState when cfg.softadapt
 
 
 def build_models(cfg: TrainConfig) -> Models:
@@ -65,6 +66,11 @@ def make_optimizers(cfg: TrainConfig):
     spe = max(cfg.steps_per_epoch, 1)
 
     def sched(base_lr):
+        if cfg.lr_schedule == "plateau":
+            # plateau scaling is applied to the updates by the train
+            # step (engine/schedules.py controller on the host)
+            return base_lr
+
         def lr(count):
             epoch = count // spe
             return base_lr * (1.0 - cfg.decay) ** epoch
@@ -99,6 +105,13 @@ def init_state(rng: jax.Array, cfg: TrainConfig, models: Models,
         "d2": v_d2.get("batch_stats", {}),
     }
     tx_g, tx_d = make_optimizers(cfg)
+    softadapt = None
+    if cfg.softadapt:
+        from shadow_removal_istd_tpu.losses import softadapt_init
+        # groups (adv, data, visual) with the reference's intended
+        # init weights [1, lambda1, lambda2] (src/cgan.py:164-169)
+        softadapt = softadapt_init(
+            3, init_weights=[1.0, cfg.lambda1, cfg.lambda2])
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_params,
@@ -108,6 +121,7 @@ def init_state(rng: jax.Array, cfg: TrainConfig, models: Models,
         opt_d=tx_d.init(d_params),
         k1=jnp.zeros((), jnp.float32),
         k2=jnp.zeros((), jnp.float32),
+        softadapt=softadapt,
     )
 
 

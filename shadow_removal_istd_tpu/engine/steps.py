@@ -81,7 +81,10 @@ def make_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
             return jnp.zeros(())
         return visual_loss(vgg_vars, pred, target)
 
-    def train_step(state: TrainState, batch, rng):
+    def train_step(state: TrainState, batch, rng,
+                   lr_scale_g=1.0, lr_scale_d=1.0):
+        """lr_scale_{g,d} multiply the Adam updates — the hook for the
+        host-side ReduceLROnPlateau controller (legacy schedule)."""
         x, m, y = batch
         kg1, kg2 = jax.random.split(rng)
 
@@ -131,6 +134,7 @@ def make_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
         (_, d_aux), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d_params)
         d_updates, opt_d = tx_d.update(d_grads, state.opt_d, state.d_params)
+        d_updates = jax.tree.map(lambda u: u * lr_scale_d, d_updates)
         d_params = optax.apply_updates(state.d_params, d_updates)
         stats_d1, stats_d2 = d_aux["stats"]
 
@@ -161,19 +165,34 @@ def make_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
             data2 = l1_loss(y_pred, y)
             vis1 = _vis(m_pred, m)
             vis2 = _vis(y_pred, y)
-            g_total = (data1 + cfg.lambda1 * data2
-                       + cfg.lambda2 * g1 + cfg.lambda3 * g2
-                       + cfg.lambda4 * vis1 + cfg.lambda5 * vis2)
+            if cfg.softadapt:
+                # dynamic weighting of the (adv, data, visual) groups —
+                # the reference's dormant SoftAdapt design
+                # (src/cgan.py:164-169, src/loss.py:115-191)
+                from shadow_removal_istd_tpu.losses import softadapt_combine
+                groups = jnp.stack([
+                    cfg.lambda2 * g1 + cfg.lambda3 * g2,
+                    data1 + cfg.lambda1 * data2,
+                    cfg.lambda4 * vis1 + cfg.lambda5 * vis2,
+                ])
+                g_total = softadapt_combine(state.softadapt, groups)
+            else:
+                groups = None
+                g_total = (data1 + cfg.lambda1 * data2
+                           + cfg.lambda2 * g1 + cfg.lambda3 * g2
+                           + cfg.lambda4 * vis1 + cfg.lambda5 * vis2)
             aux = {
                 "stats": ({"g1": s_g1, "g2": s_g2}, (s1, s2)),
                 "G1": g1, "G2": g2, "data1": data1, "data2": data2,
                 "vis1": vis1, "vis2": vis2, "G": g_total,
+                "groups": groups,
             }
             return g_total, aux
 
         (_, g_aux), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.g_params)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)
+        g_updates = jax.tree.map(lambda u: u * lr_scale_g, g_updates)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
         g_stats, (stats_d1, stats_d2) = g_aux["stats"]
@@ -188,11 +207,16 @@ def make_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
         else:
             k1, k2 = state.k1, state.k2
 
+        softadapt = state.softadapt
+        if cfg.softadapt:
+            from shadow_removal_istd_tpu.losses import softadapt_update
+            softadapt = softadapt_update(state.softadapt, g_aux["groups"])
+
         new_state = state.replace(
             step=state.step + 1,
             g_params=g_params, d_params=d_params,
             batch_stats=new_stats, opt_g=opt_g, opt_d=opt_d,
-            k1=k1, k2=k2)
+            k1=k1, k2=k2, softadapt=softadapt)
 
         metrics = {
             "G": g_aux["G"], "G1": g_aux["G1"], "G2": g_aux["G2"],

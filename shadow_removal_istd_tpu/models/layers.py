@@ -33,6 +33,40 @@ def dcgan_kernel_init(stddev: float = 0.02):
     return nn.initializers.normal(stddev=stddev)
 
 
+def apply_dcgan_init(key, params, bn_scale_mean: float = 1.0,
+                     stddev: float = 0.02):
+    """Re-initialize a param tree DCGAN-style.
+
+    Conv/ConvTranspose kernels ~ N(0, 0.02); biases 0; BatchNorm scales
+    ~ N(bn_scale_mean, 0.02). The reference's ``weights_init``
+    (src/networks.py:19-30) matches 'BatchNorm' in the Conv branch and
+    draws the BN *scale* from N(0, 0.02) — pass ``bn_scale_mean=0.0``
+    to reproduce that behaviour bit-for-bit; the default 1.0 is the
+    standard DCGAN recipe.
+    """
+    import jax as _jax
+
+    leaves_with_paths = _jax.tree_util.tree_flatten_with_path(params)[0]
+    keys = _jax.random.split(key, len(leaves_with_paths))
+
+    def init_leaf(path, leaf, k):
+        name = str(path[-1])
+        if "bias" in name:
+            return jnp.zeros_like(leaf)
+        if "scale" in name:  # BatchNorm scale
+            return (bn_scale_mean
+                    + stddev * _jax.random.normal(k, leaf.shape,
+                                                  leaf.dtype))
+        if "kernel" in name:
+            return stddev * _jax.random.normal(k, leaf.shape, leaf.dtype)
+        return leaf
+
+    new_leaves = [init_leaf(p, l, k)
+                  for (p, l), k in zip(leaves_with_paths, keys)]
+    treedef = _jax.tree_util.tree_structure(params)
+    return _jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 class ConvReflect(nn.Module):
     """Conv2D with reflection padding (torch padding_mode='reflect')."""
 

@@ -49,6 +49,11 @@ class AugmentConfig:
     angle: float = 15.0
     flip_prob: float = 0.5
     crop_size: int = 256
+    # optional pre-aug resize (rows, cols) — the legacy tree resizes to
+    # (300, 400) before augmenting (reference STCGAN/stcgan.py:77-82).
+    # Done exactly (separate area/linear resample via matmuls), not
+    # folded into the warp, to preserve INTER_AREA semantics.
+    resize: tuple | None = None
 
 
 def sample_augment_params(key: jax.Array, batch: int,
@@ -98,13 +103,18 @@ def augment_batch(key: jax.Array, streams: tuple[jnp.ndarray, ...],
     uint8). Returns float32 crops in [-1, 1], same order.
     """
     batch = streams[0].shape[0]
-    h, w = streams[0].shape[1], streams[0].shape[2]
-    params = sample_augment_params(key, batch, (h, w), cfg)
 
     # Concatenate every stream on channels: one gather warps the group.
     splits = [s.shape[-1] for s in streams]
     stacked = jnp.concatenate(
         [s.astype(jnp.float32) for s in streams], axis=-1)
+
+    if cfg.resize is not None:
+        from shadow_removal_istd_tpu.ops.resize import resize as _resize
+        stacked = _resize(stacked, cfg.resize, method="auto")
+
+    h, w = stacked.shape[1], stacked.shape[2]
+    params = sample_augment_params(key, batch, (h, w), cfg)
 
     warped = jax.vmap(
         _augment_one, in_axes=(0, 0, 0, 0, 0, 0, None)

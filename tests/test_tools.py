@@ -1,0 +1,200 @@
+"""Offline tooling tests: sp preprocessing, color adjustment, VGG
+conversion, experiment runner, logging utils."""
+import os
+
+import numpy as np
+import pytest
+
+
+class TestPreprocess:
+    def test_sp_roundtrip(self, rng):
+        from shadow_removal_istd_tpu.tools.preprocess import (
+            apply_sp,
+            compute_sp,
+        )
+        shadowed = rng.integers(1, 255, (16, 16, 3), np.uint8)
+        free = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        sp = compute_sp(shadowed, free)
+        restored = apply_sp(shadowed, sp)
+        np.testing.assert_allclose(restored, free, atol=1)
+
+    def test_zero_pixels_clamped(self):
+        from shadow_removal_istd_tpu.tools.preprocess import compute_sp
+        shadowed = np.zeros((2, 2, 3), np.uint8)
+        free = np.full((2, 2, 3), 100, np.uint8)
+        sp = compute_sp(shadowed, free)
+        assert np.isfinite(sp).all()
+        np.testing.assert_array_equal(sp, 100.0)
+
+    def test_process_split(self, tmp_path):
+        from shadow_removal_istd_tpu.data.synthetic import write_istd_layout
+        from shadow_removal_istd_tpu.tools.preprocess import process_split
+        root = str(tmp_path)
+        write_istd_layout(root, n_train=2, n_test=1, h=24, w=32)
+        n = process_split(root, "train", save_sp=True, save_img=True)
+        assert n == 2
+        sp_files = os.listdir(os.path.join(root, "train", "sp"))
+        assert len(sp_files) == 2
+        sp = np.load(os.path.join(root, "train", "sp", sp_files[0]))
+        assert sp.shape == (24, 32, 3)
+
+
+class TestColorAdjustment:
+    def test_recovers_known_affine(self, rng):
+        from shadow_removal_istd_tpu.tools.color_adjustment import (
+            color_adjustment,
+        )
+        # shadow image = affine(shadow_free) on non-shadow pixels;
+        # the regression must recover the transform
+        free = rng.integers(30, 220, (32, 32, 3), np.uint8)
+        coef = np.array([1.1, 0.95, 1.05])
+        offs = np.array([0.02, -0.01, 0.03])
+        shadow = np.clip(free / 255.0 * coef + offs, 0, 1)
+        shadow = (shadow * 255).astype(np.uint8)
+        mask = np.zeros((32, 32), np.uint8)
+        mask[:8, :8] = 255  # small shadow region
+        corrected, params = color_adjustment(free, shadow, mask)
+        # per-channel slope/intercept ~ (offs, coef)
+        got = params.reshape(3, 2)
+        np.testing.assert_allclose(got[:, 1], coef, atol=0.02)
+        np.testing.assert_allclose(got[:, 0], offs, atol=0.02)
+        # corrected non-shadow pixels should match the shadow image
+        ns = mask == 0
+        diff = np.abs(corrected.astype(int) - shadow.astype(int))[ns]
+        assert diff.mean() < 3
+
+    def test_fix_split(self, tmp_path, rng):
+        from shadow_removal_istd_tpu.tools.color_adjustment import fix_split
+        from shadow_removal_istd_tpu.utils.image_io import imwrite
+        base = tmp_path / "train"
+        for d in ("train_A", "train_B", "train_C"):
+            os.makedirs(base / d)
+        for i in range(2):
+            img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+            imwrite(str(base / "train_A" / f"{i}.png"), img)
+            imwrite(str(base / "train_B" / f"{i}.png"),
+                    (rng.uniform(size=(16, 16)) > 0.7).astype(np.uint8)
+                    * 255)
+            imwrite(str(base / "train_C" / f"{i}.png"),
+                    rng.integers(0, 256, (16, 16, 3), np.uint8))
+        n = fix_split(str(tmp_path), "train")
+        assert n == 2
+        out = os.listdir(base / "train_C_fixed_official")
+        assert len(out) == 2
+
+
+class TestConvertVGG:
+    def test_conversion_layout(self, rng):
+        from shadow_removal_istd_tpu.tools.convert_vgg import (
+            convert_state_dict,
+        )
+        # synth a state dict with the torchvision features[:40] naming
+        conv_bn = [(0, 1), (3, 4), (7, 8), (10, 11), (14, 15), (17, 18),
+                   (20, 21), (23, 24), (27, 28), (30, 31), (33, 34),
+                   (36, 37)]
+        cfg = [64, 64, 128, 128, 256, 256, 256, 256, 512, 512, 512, 512]
+        prev = 3
+        sd = {}
+        for (ci, bi), ch in zip(conv_bn, cfg):
+            sd[f"{ci}.weight"] = rng.normal(size=(ch, prev, 3, 3))
+            sd[f"{ci}.bias"] = rng.normal(size=(ch,))
+            for suffix in ("weight", "bias", "running_mean", "running_var"):
+                sd[f"{bi}.{suffix}"] = rng.normal(size=(ch,))
+            prev = ch
+        out = convert_state_dict(sd)
+        assert out["conv0_kernel"].shape == (3, 3, 3, 64)   # HWIO
+        assert out["conv11_kernel"].shape == (3, 3, 512, 512)
+        assert out["bn0_mean"].shape == (64,)
+        # kernel transpose is consistent: HWIO[:, :, i, o] == OIHW[o, i]
+        np.testing.assert_array_equal(
+            out["conv0_kernel"][..., 0, 0],
+            np.asarray(sd["0.weight"])[0, 0])
+
+    def test_loads_into_flax_vgg(self, tmp_path, rng):
+        import jax.numpy as jnp
+        from shadow_removal_istd_tpu.models.vgg import (
+            VGG19Features,
+            load_vgg_variables,
+        )
+        from shadow_removal_istd_tpu.tools.convert_vgg import (
+            convert_state_dict,
+        )
+        conv_bn = [(0, 1), (3, 4), (7, 8), (10, 11), (14, 15), (17, 18),
+                   (20, 21), (23, 24), (27, 28), (30, 31), (33, 34),
+                   (36, 37)]
+        cfg = [64, 64, 128, 128, 256, 256, 256, 256, 512, 512, 512, 512]
+        prev = 3
+        sd = {}
+        for (ci, bi), ch in zip(conv_bn, cfg):
+            sd[f"{ci}.weight"] = rng.normal(size=(ch, prev, 3, 3),
+                                            scale=0.05)
+            sd[f"{ci}.bias"] = np.zeros(ch)
+            sd[f"{bi}.weight"] = np.ones(ch)
+            sd[f"{bi}.bias"] = np.zeros(ch)
+            sd[f"{bi}.running_mean"] = np.zeros(ch)
+            sd[f"{bi}.running_var"] = np.ones(ch)
+            prev = ch
+        path = str(tmp_path / "vgg.npz")
+        np.savez(path, **convert_state_dict(sd))
+        variables = load_vgg_variables(path)
+        feats = VGG19Features().apply(variables,
+                                      jnp.ones((1, 32, 32, 3)))
+        assert feats.shape == (1, 2, 2, 512)  # 32 / 2^4, through pool4
+
+
+class TestExperiments:
+    def test_grid_expansion(self):
+        from shadow_removal_istd_tpu.tools.experiments import expand_grid
+        combos = expand_grid({"a": [1, 2], "b": "x", "c": [True, False]})
+        assert len(combos) == 4
+        assert {"a": 1, "b": "x", "c": True} in combos
+
+    def test_build_commands(self, tmp_path):
+        from shadow_removal_istd_tpu.tools.experiments import (
+            build_commands,
+        )
+        spec = {"operations": {"op": {
+            "main": "shadow_removal_istd_tpu.cli.main",
+            "label": "t_{net-G}",
+            "flags": {"tasks": "train", "net-G": ["unet", "mnet"]},
+        }}}
+        cmds = build_commands(spec, "op", str(tmp_path))
+        assert len(cmds) == 2
+        run_dir, cmd = cmds[0]
+        assert run_dir.endswith("t_unet")
+        assert "--net-G" in cmd and "unet" in cmd
+
+    def test_repo_experiments_yaml_parses(self):
+        from shadow_removal_istd_tpu.tools.experiments import (
+            _load,
+            build_commands,
+        )
+        spec = _load("experiments.yaml")
+        for op in ("shadow-removal-train", "STCGAN-train"):
+            cmds = build_commands(spec, op)
+            assert cmds
+
+
+class TestLoggingUtils:
+    def test_teeio(self, tmp_path):
+        import io
+        from shadow_removal_istd_tpu.utils.logging_utils import TeeIo
+        stream = io.StringIO()
+        path = str(tmp_path / "log.txt")
+        with TeeIo(path, stream, mode="w") as tee:
+            tee.write("hello\n")
+            tee.flush()
+        assert stream.getvalue() == "hello\n"
+        assert open(path).read() == "hello\n"
+
+    def test_tqdm_handler(self, capsys):
+        import logging
+        from shadow_removal_istd_tpu.utils.logging_utils import (
+            TqdmStreamHandler,
+        )
+        logger = logging.getLogger("tqdm_test")
+        logger.handlers = [TqdmStreamHandler()]
+        logger.setLevel(logging.INFO)
+        logger.info("via tqdm")
+        captured = capsys.readouterr()
+        assert "via tqdm" in captured.out or "via tqdm" in captured.err
