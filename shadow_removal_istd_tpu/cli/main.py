@@ -117,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["reference", "corrected"],
                         help="reference-exact vs corrected adversarial "
                              "loss flag semantics")
+    parser.add_argument("--device-cache", type=str2bool, default=True,
+                        const=True, nargs="?",
+                        help="keep the dataset in HBM and run whole "
+                             "epochs as one device dispatch")
     return parser
 
 
@@ -245,6 +249,7 @@ def main(args) -> None:
         vis_every=args.vis_every, save_every=args.save_every,
         seed=args.manual_seed if args.manual_seed != -1 else 0,
         vgg_weights=args.vgg_weights, tasks=tuple(args.tasks),
+        device_cache=args.device_cache,
     )
 
     trainer = Trainer(cfg, run,

@@ -1,0 +1,60 @@
+"""Whole-epoch fusion: gather -> augment -> train step inside one jit.
+
+The dispatch round-trip to the TPU costs ~30ms on tunneled hosts; at the
+reference's batch size 4 an ISTD epoch is ~330 steps, so a step-per-
+dispatch loop pays ~10s/epoch of pure overhead. With the dataset
+resident in HBM (data/device_cache.py — ISTD fits with room to spare),
+the whole epoch becomes ONE dispatch: a ``lax.scan`` whose body gathers
+the shuffled batch on device, runs the fused augmentation kernel, and
+executes the adversarial train step. Zero host involvement per step.
+
+This is the TPU-native replacement for the reference's DataLoader-driven
+Python loop (src/cgan.py:265-380).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from shadow_removal_istd_tpu.engine.config import TrainConfig
+from shadow_removal_istd_tpu.engine.state import Models, TrainState
+from shadow_removal_istd_tpu.ops.augment import AugmentConfig, augment_batch
+
+
+def make_scanned_epoch(models: Models, cfg: TrainConfig, vgg_vars=None,
+                       unroll: int = 1):
+    """Build ``epoch_fn(state, arrays, idx_matrix, rng, scale_g,
+    scale_d) -> (state, summed_metrics)``.
+
+    ``arrays``: tuple of device-resident (N, H, W, C) uint8 streams in
+    sorted-stream order; ``idx_matrix``: (steps, batch) int32 shuffled
+    indices (see DeviceDatasetCache.epoch_indices).
+    """
+    from shadow_removal_istd_tpu.engine.steps import _unjitted_train_step
+
+    aug_cfg = AugmentConfig(
+        scale=cfg.aug_scale, angle=cfg.aug_angle, flip_prob=0.5,
+        crop_size=cfg.image_size, resize=cfg.aug_resize)
+    step_fn = _unjitted_train_step(models, cfg, vgg_vars)
+
+    def epoch_fn(state: TrainState, arrays, idx_matrix, rng,
+                 scale_g=1.0, scale_d=1.0):
+        def body(carry, inputs):
+            state = carry
+            step_i, idx = inputs
+            k = jax.random.fold_in(rng, step_i)
+            k_aug, k_step = jax.random.split(k)
+            raw = tuple(jnp.take(a, idx, axis=0) for a in arrays)
+            batch = augment_batch(k_aug, raw, aug_cfg)
+            state, metrics = step_fn(state, batch, k_step,
+                                     scale_g, scale_d)
+            return state, metrics
+
+        steps = idx_matrix.shape[0]
+        state, metrics_seq = jax.lax.scan(
+            body, state, (jnp.arange(steps), idx_matrix), unroll=unroll)
+        sums = jax.tree.map(lambda m: jnp.sum(m, axis=0), metrics_seq)
+        return state, sums
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))

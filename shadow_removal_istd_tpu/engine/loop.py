@@ -74,6 +74,9 @@ class RunConfig:
     seed: int = 38107943
     vgg_weights: str | None = None
     tasks: tuple[str, ...] = ("train",)
+    # run whole epochs as ONE device dispatch over the HBM-resident
+    # dataset (engine/epoch.py); ~10s/epoch saved on tunneled hosts
+    device_cache: bool = False
 
 
 class Trainer:
@@ -171,6 +174,25 @@ class Trainer:
 
         self._normalize = jax.jit(_norm)
 
+        self.epoch_fn = None
+        self._cache = None
+        if run.device_cache and train_streams:
+            from shadow_removal_istd_tpu.data.device_cache import (
+                DeviceDatasetCache,
+            )
+            from shadow_removal_istd_tpu.engine.epoch import (
+                make_scanned_epoch,
+            )
+            sharding = None
+            if mesh is not None:
+                from shadow_removal_istd_tpu.parallel.mesh import (
+                    replicated_sharding,
+                )
+                sharding = replicated_sharding(mesh)
+            self._cache = DeviceDatasetCache(train_streams, sharding)
+            self.epoch_fn = make_scanned_epoch(self.models, self.cfg,
+                                               vgg_vars)
+
         self.start_epoch = 0
         self.best_loss = float("inf")
         self._writers: dict = {}
@@ -231,6 +253,9 @@ class Trainer:
 
     def run_train_epoch(self, epoch: int, log_scalars: bool = False,
                         visualize: bool = False):
+        if self.epoch_fn is not None:
+            return self._run_train_epoch_fused(epoch, log_scalars,
+                                               visualize)
         need_sums = (log_scalars or visualize
                      or self.plateau_g is not None)
         collected = []  # lazy device arrays; one device_get at epoch end
@@ -265,6 +290,35 @@ class Trainer:
                                         self.run.weights_dir, "latest")
         if visualize and vis_batch is not None:
             self._log_images("train", epoch, vis_batch)
+
+    def _run_train_epoch_fused(self, epoch: int, log_scalars: bool,
+                               visualize: bool):
+        """One-dispatch epoch over the HBM-resident dataset."""
+        self.rng, k_idx, k_epoch = jax.random.split(self.rng, 3)
+        idx = self._cache.epoch_indices(k_idx, self.cfg.batch_size)
+        n = idx.shape[0]
+        scale_g = self.plateau_g.scale if self.plateau_g else 1.0
+        scale_d = self.plateau_d.scale if self.plateau_d else 1.0
+        self.state, sums_dev = self.epoch_fn(
+            self.state, self._cache._arrays, idx, k_epoch,
+            scale_g, scale_d)
+        if log_scalars or visualize or self.plateau_g is not None:
+            got = jax.device_get(sums_dev)
+            sums = {k: float(got[k]) for k in _METRIC_KEYS}
+            outs = {k: float(got[k]) for k in
+                    ("D1_real", "D1_fake", "D2_real", "D2_fake")}
+            if self.plateau_g is not None:
+                self.plateau_g.step(sums["G"])
+                self.plateau_d.step(sums["D"])
+            if log_scalars:
+                self._log_scalars("train", epoch, sums, outs, n)
+                ckpt.save_model_weights(self.state, self.models,
+                                        self.run.weights_dir, "latest")
+        if visualize:
+            raw = self._cache.gather(idx[0])
+            self.rng, k_aug = jax.random.split(self.rng)
+            batch = self._augment(k_aug, raw)
+            self._log_images("train", epoch, batch)
 
     def run_valid_epoch(self, epoch: int) -> float:
         sums = {k: 0.0 for k in _METRIC_KEYS}

