@@ -117,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["reference", "corrected"],
                         help="reference-exact vs corrected adversarial "
                              "loss flag semantics")
+    parser.add_argument("--compute-dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 = mixed-precision training "
+                             "(f32 params/BN/losses)")
     parser.add_argument("--device-cache", type=str2bool, default=True,
                         const=True, nargs="?",
                         help="keep the dataset in HBM and run whole "
@@ -239,6 +243,7 @@ def main(args) -> None:
         image_size=args.image_size, batch_size=args.batch_size,
         aug_scale=args.aug_scale, aug_angle=args.aug_angle,
         use_visual_loss=args.vgg_weights is not None,
+        compute_dtype=args.compute_dtype,
     )
     run = RunConfig(
         data_dirs=tuple(args.data_dir),

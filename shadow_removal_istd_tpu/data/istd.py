@@ -99,11 +99,31 @@ class ISTDDataset:
                 arrays.append(self._read(stream, idx))
         return (self.filename(idx), *arrays)
 
-    def load_all(self) -> dict[str, np.ndarray]:
+    def load_all(self, native: bool = True) -> dict[str, np.ndarray]:
         """Stack every stream into one uint8 array per stream
-        (N, H, W, C) — the device-cache/bulk-pipeline entry point."""
+        (N, H, W, C) — the device-cache/bulk-pipeline entry point.
+
+        Uses the native threaded PNG decoder (native/png_decoder.cpp)
+        when available — one contiguous buffer per stream, decoded in
+        parallel, bit-identical to the cv2 path.
+        """
+        native_dec = None
+        if native and not self.preload:
+            try:
+                from shadow_removal_istd_tpu.data import native_loader
+                if native_loader.is_available():
+                    native_dec = native_loader
+            except Exception:
+                native_dec = None
+
         out = {}
         for stream in self.streams:
+            if native_dec is not None and all(
+                    p.lower().endswith(".png")
+                    for p in self._files[stream]):
+                out[stream] = native_dec.decode_batch(
+                    self._files[stream], gray=stream in GRAY_STREAMS)
+                continue
             if self.preload:
                 items = self._cache[stream]
             else:

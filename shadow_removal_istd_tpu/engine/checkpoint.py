@@ -77,11 +77,20 @@ def save_checkpoint(state: TrainState, path: str, epoch: int = 0) -> None:
 
 
 def load_checkpoint(state: TrainState, path: str) -> tuple[TrainState, int]:
-    """Restore a full training state; returns (state, epoch)."""
-    target = {"epoch": 0, "state": state}
+    """Restore a full training state; returns (state, epoch).
+
+    Forward-compatible: fields added to TrainState after a checkpoint
+    was written (e.g. ``softadapt``) keep their current values instead
+    of failing the restore.
+    """
     with open(path, "rb") as f:
-        payload = serialization.from_bytes(target, f.read())
-    return payload["state"], int(payload["epoch"])
+        raw = serialization.msgpack_restore(f.read())
+    target_sd = serialization.to_state_dict(state)
+    saved_sd = raw.get("state", {})
+    for key, value in target_sd.items():
+        saved_sd.setdefault(key, value)
+    restored = serialization.from_state_dict(state, saved_sd)
+    return restored, int(raw.get("epoch", 0))
 
 
 def save_checkpoint_orbax(state: TrainState, directory: str,

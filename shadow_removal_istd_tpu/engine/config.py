@@ -61,6 +61,8 @@ class TrainConfig:
     # runtime
     steps_per_epoch: int = 1      # for the per-epoch lr decay schedule
     use_visual_loss: bool = True  # needs VGG variables
+    compute_dtype: str = "float32"  # "bfloat16" = mixed precision:
+    # bf16 activations/matmuls, f32 params/BatchNorm/losses/optimizer
 
     def __post_init__(self):
         if self.net_d == "dummy":

@@ -43,9 +43,12 @@ class TrainState(struct.PyTreeNode):
 def build_models(cfg: TrainConfig) -> Models:
     """Instantiate G1(3->1), G2(4->3), D1(4 in), D2(7 in) per the
     reference's channel wiring (src/cgan.py:35-66)."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     g_kw = dict(ngf=cfg.ngf, drop_rate=cfg.droprate, no_conv_t=cfg.nn_upconv,
-                use_selu=cfg.use_selu, activation=cfg.activation)
-    d_kw = dict(ndf=cfg.ndf, use_selu=cfg.use_selu, use_sigmoid=False)
+                use_selu=cfg.use_selu, activation=cfg.activation,
+                dtype=dtype)
+    d_kw = dict(ndf=cfg.ndf, use_selu=cfg.use_selu, use_sigmoid=False,
+                dtype=dtype)
     return Models(
         g1=get_generator(cfg.net_g, in_channels=3, out_channels=1, **g_kw),
         g2=get_generator(cfg.net_g, in_channels=3 + 1, out_channels=3, **g_kw),

@@ -6,10 +6,12 @@ import jax.numpy as jnp
 
 
 def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Mean absolute error."""
-    return jnp.mean(jnp.abs(pred - target))
+    """Mean absolute error (accumulated in float32 under bf16 compute)."""
+    return jnp.mean(jnp.abs(pred.astype(jnp.float32)
+                            - target.astype(jnp.float32)))
 
 
 def l2_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Mean squared error."""
-    return jnp.mean((pred - target) ** 2)
+    """Mean squared error (accumulated in float32)."""
+    diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    return jnp.mean(diff ** 2)

@@ -10,6 +10,8 @@ k-balance update (reference src/cgan.py:290-297, 352-360).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -23,27 +25,35 @@ class BEGAN(nn.Module):
     n_layers: int = 3
     use_selu: bool = False
     use_sigmoid: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         ndf = self.ndf
-        y = L.Conv(ndf, (3, 3), padding=1, use_bias=True)(x)
+        y = L.Conv(ndf, (3, 3), padding=1, use_bias=True,
+                   dtype=self.dtype)(x)
         y = L.ActNorm(self.use_selu)(y, train)
 
         for n in range(1, self.n_layers):  # encoder
-            y = L.Conv(ndf * n, (3, 3), padding=1, use_bias=True)(y)
-            y = L.ActNorm(self.use_selu)(y, train)
+            y = L.Conv(ndf * n, (3, 3), padding=1, use_bias=True,
+                       dtype=self.dtype)(y)
+            y = L.ActNorm(self.use_selu, dtype=self.dtype)(y, train)
             y = L.max_pool(y, 2)
 
-        y = L.Conv(ndf, (3, 3), padding=1, use_bias=True)(y)  # bottleneck
-        bottleneck = L.Conv(ndf, (3, 3), padding=1, use_bias=True)(y)
+        y = L.Conv(ndf, (3, 3), padding=1, use_bias=True,
+               dtype=self.dtype)(y)  # bottleneck
+        bottleneck = L.Conv(ndf, (3, 3), padding=1, use_bias=True,
+                        dtype=self.dtype)(y)
 
         num_decoders = self.n_layers - 1
         y = bottleneck
         for i in range(num_decoders):
             # deconv block: conv3x3 -> norm -> nearest x2
-            y = L.Conv(ndf, (3, 3), padding=1, use_bias=True)(y)
-            y = L.ActNorm(self.use_selu)(y, train)
+            y = L.Conv(ndf, (3, 3), padding=1, use_bias=True,
+                       dtype=self.dtype)(y)
+            y = L.ActNorm(self.use_selu, dtype=self.dtype)(y, train)
             y = L.upsample_nearest(y, 2)
             if i < num_decoders - 1:
                 # multi-scale skip: concat bottleneck upsampled to match
@@ -54,5 +64,6 @@ class BEGAN(nn.Module):
         if out_ch is None:
             out_ch = x.shape[-1] if self.in_channels is None \
                 else self.in_channels
-        y = L.Conv(out_ch, (3, 3), padding=1, use_bias=True)(y)
+        y = L.Conv(out_ch, (3, 3), padding=1, use_bias=True,
+                   dtype=self.dtype)(y)
         return nn.sigmoid(y) if self.use_sigmoid else jnp.tanh(y)

@@ -7,6 +7,8 @@ src/cgan.py:160-162).
 
 from __future__ import annotations
 
+from typing import Any
+
 from flax import linen as nn
 
 
@@ -20,7 +22,9 @@ class DummyNet(nn.Module):
     use_selu: bool = False
     use_sigmoid: bool = False
     activation: str | None = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        return nn.Conv(self.out_channels, (1, 1), use_bias=True)(x)
+        return nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                       dtype=self.dtype)(x)

@@ -20,7 +20,7 @@ than the reference's per-replica DataParallel BN.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +76,7 @@ class ConvReflect(nn.Module):
     padding: int = 1
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Any = None  # computation dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x):
@@ -84,7 +85,7 @@ class ConvReflect(nn.Module):
             x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
         return nn.Conv(self.features, self.kernel_size, self.strides,
                        padding="VALID", use_bias=self.use_bias,
-                       kernel_init=self.kernel_init)(x)
+                       kernel_init=self.kernel_init, dtype=self.dtype)(x)
 
 
 class Conv(nn.Module):
@@ -96,22 +97,34 @@ class Conv(nn.Module):
     padding: int = 1
     use_bias: bool = True
     kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         p = self.padding
         return nn.Conv(self.features, self.kernel_size, self.strides,
                        padding=((p, p), (p, p)), use_bias=self.use_bias,
-                       kernel_init=self.kernel_init)(x)
+                       kernel_init=self.kernel_init, dtype=self.dtype)(x)
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm with torch defaults (eps 1e-5, momentum 0.1)."""
+    """BatchNorm with torch defaults (eps 1e-5, momentum 0.1).
+
+    Statistics always accumulate in float32 — under bf16 compute the
+    input is upcast for the reduction (standard mixed-precision
+    practice); the output returns in the surrounding compute dtype.
+    """
+
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(use_running_average=not train,
-                            momentum=0.9, epsilon=1e-5)(x)
+        in_dtype = x.dtype
+        y = nn.BatchNorm(use_running_average=not train,
+                         momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32)(x.astype(jnp.float32))
+        out_dtype = self.dtype or in_dtype
+        return y.astype(out_dtype)
 
 
 class ActNorm(nn.Module):
@@ -122,13 +135,14 @@ class ActNorm(nn.Module):
     """
 
     use_selu: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         if self.use_selu:
             return jax.nn.selu(x)
         x = nn.leaky_relu(x, negative_slope=0.2)
-        return BatchNorm()(x, train)
+        return BatchNorm(dtype=self.dtype)(x, train)
 
 
 class Upsample(nn.Module):
@@ -140,6 +154,7 @@ class Upsample(nn.Module):
     no_conv_t: bool = True
     use_bias: bool = False
     kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -148,13 +163,15 @@ class Upsample(nn.Module):
             x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
             return ConvReflect(self.features, (3, 3), (1, 1), padding=1,
                                use_bias=self.use_bias,
-                               kernel_init=self.kernel_init)(x)
+                               kernel_init=self.kernel_init,
+                               dtype=self.dtype)(x)
         # 'SAME' reproduces torch ConvTranspose2d(4, stride=2, padding=1)
         # geometry: out = 2*in with one row/col cropped from each side.
         return nn.ConvTranspose(self.features, (4, 4), (2, 2),
                                 padding="SAME",
                                 use_bias=self.use_bias,
-                                kernel_init=self.kernel_init)(x)
+                                kernel_init=self.kernel_init,
+                                dtype=self.dtype)(x)
 
 
 class Dropout2d(nn.Module):

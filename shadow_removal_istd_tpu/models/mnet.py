@@ -11,6 +11,8 @@ with the output activation. Skip links carry the encoder block inputs
 
 from __future__ import annotations
 
+from typing import Any
+
 from flax import linen as nn
 
 from shadow_removal_istd_tpu.models import layers as L
@@ -21,13 +23,14 @@ class _Down(nn.Module):
     """LeakyReLU -> 4x4s2 reflect conv -> BN (reference mnet._conv_block)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         y = nn.leaky_relu(x, negative_slope=0.2)
         y = L.ConvReflect(self.features, (4, 4), (2, 2), padding=1,
-                          use_bias=False)(y)
-        y = L.BatchNorm()(y, train)
+                          use_bias=False, dtype=self.dtype)(y)
+        y = L.BatchNorm(dtype=self.dtype)(y, train)
         return y, x  # link carries the block INPUT
 
 
@@ -36,13 +39,14 @@ class _Up(nn.Module):
 
     features: int
     no_conv_t: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, link, train: bool):
         y = nn.leaky_relu(x, negative_slope=0.2)
         y = L.Upsample(self.features, no_conv_t=self.no_conv_t,
-                       use_bias=False)(y)
-        y = L.BatchNorm()(y, train)
+                       use_bias=False, dtype=self.dtype)(y)
+        y = L.BatchNorm(dtype=self.dtype)(y, train)
         return jnp.concatenate([y, link], axis=-1)
 
 
@@ -57,9 +61,12 @@ class MNet(nn.Module):
     use_selu: bool = False  # accepted for registry parity (unused, as in ref)
     activation: str | None = "tanh"
     depth: int = 4
+    dtype: Any = None  # bf16 mixed-precision compute when set
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         ngf, d = self.ngf, self.depth
         # Encoder/decoder channel plan (reference mnet.py:45-65):
         # down block i maps 2^min(i,3)*ngf -> 2^min(i+1,3)*ngf.
@@ -68,22 +75,24 @@ class MNet(nn.Module):
         # decoder input channels: innermost gets down_feats[-1]; others get
         # 2 * down_feats[i] (upsampled concat from below).
 
-        x = L.ConvReflect(ngf, (4, 4), (2, 2), padding=1, use_bias=False)(x)
+        x = L.ConvReflect(ngf, (4, 4), (2, 2), padding=1,
+                          use_bias=False, dtype=self.dtype)(x)
 
         links = []
         y = x
         for i in range(d):
-            y, link = _Down(down_feats[i])(y, train)
+            y, link = _Down(down_feats[i], dtype=self.dtype)(y, train)
             links.append(link)
 
         for i in reversed(range(d)):
-            y = _Up(up_feats[i], no_conv_t=self.no_conv_t)(y, links[i], train)
+            y = _Up(up_feats[i], no_conv_t=self.no_conv_t,
+                    dtype=self.dtype)(y, links[i], train)
             # Dropout on every skip level except the outermost
             # (reference mnet.py:59-65: outer block drop_rate=0).
             if i > 0 and self.drop_rate > 0:
                 y = L.Dropout2d(self.drop_rate)(y, train)
 
         y = L.Upsample(self.out_channels, no_conv_t=self.no_conv_t,
-                       use_bias=False)(y)
+                       use_bias=False, dtype=self.dtype)(y)
         act = L.get_activation(self.activation)
         return act(y) if act is not None else y

@@ -9,6 +9,8 @@ map (designed for a with-logits loss; optional sigmoid).
 
 from __future__ import annotations
 
+from typing import Any
+
 from flax import linen as nn
 
 from shadow_removal_istd_tpu.models import layers as L
@@ -21,10 +23,14 @@ class PatchGAN(nn.Module):
     n_layers: int = 3
     use_selu: bool = False
     use_sigmoid: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        y = L.Conv(self.ndf, (4, 4), (2, 2), padding=1, use_bias=True)(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        y = L.Conv(self.ndf, (4, 4), (2, 2), padding=1, use_bias=True,
+                   dtype=self.dtype)(x)
         y = nn.leaky_relu(y, negative_slope=0.2)
 
         prev = self.ndf
@@ -32,15 +38,17 @@ class PatchGAN(nn.Module):
             # channels double up to n<4, then stay (reference patchgan.py:38-47)
             features = prev * 2 if n < 4 else prev
             y = L.ConvReflect(features, (4, 4), (2, 2), padding=1,
-                              use_bias=False)(y)
-            y = L.ActNorm(self.use_selu)(y, train)
+                              use_bias=False, dtype=self.dtype)(y)
+            y = L.ActNorm(self.use_selu, dtype=self.dtype)(y, train)
             prev = features
 
         tail = prev * 2 if self.n_layers < 4 else prev
-        y = L.ConvReflect(tail, (3, 3), (1, 1), padding=1, use_bias=False)(y)
-        y = L.ActNorm(self.use_selu)(y, train)
+        y = L.ConvReflect(tail, (3, 3), (1, 1), padding=1, use_bias=False,
+                          dtype=self.dtype)(y)
+        y = L.ActNorm(self.use_selu, dtype=self.dtype)(y, train)
 
-        y = L.ConvReflect(1, (3, 3), (1, 1), padding=1, use_bias=False)(y)
+        y = L.ConvReflect(1, (3, 3), (1, 1), padding=1, use_bias=False,
+                          dtype=self.dtype)(y)
         if self.use_sigmoid:
             y = nn.sigmoid(y)
         return y

@@ -16,6 +16,8 @@ time.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -37,9 +39,12 @@ class Pix2PixUNet(nn.Module):
     no_conv_t: bool = False
     use_selu: bool = False
     activation: str | None = "tanh"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         ngf = self.ngf
         # inner channel count at each level, outermost first.
         inner = [ngf, ngf * 2, ngf * 4] + [ngf * 8] * (self.num_downs - 3)
@@ -58,9 +63,9 @@ class Pix2PixUNet(nn.Module):
             if not outermost:
                 y = nn.leaky_relu(y, negative_slope=0.2)
             y = L.Conv(inner[level], (4, 4), (2, 2), padding=1,
-                       use_bias=False)(y)
+                       use_bias=False, dtype=self.dtype)(y)
             if not outermost and not innermost:
-                y = L.BatchNorm()(y, train)
+                y = L.BatchNorm(dtype=self.dtype)(y, train)
 
             if not innermost:
                 y = block(y, level + 1)
@@ -70,10 +75,11 @@ class Pix2PixUNet(nn.Module):
             # 'SAME' == torch ConvTranspose2d(4, stride 2, padding 1)
             y = nn.ConvTranspose(up_features, (4, 4), (2, 2),
                                  padding="SAME",
-                                 use_bias=outermost)(y)
+                                 use_bias=outermost,
+                                 dtype=self.dtype)(y)
             if outermost:
                 return jnp.tanh(y)
-            y = L.BatchNorm()(y, train)
+            y = L.BatchNorm(dtype=self.dtype)(y, train)
             # dropout only on the ngf*8 middle blocks (reference
             # stcgan_g.py:36-40 passes use_dropout to those levels only)
             if self.use_dropout and 4 <= level <= self.num_downs - 2:
@@ -94,27 +100,32 @@ class NLayerDiscriminator(nn.Module):
     n_layers: int = 3
     use_sigmoid: bool = False
     use_selu: bool = False  # registry parity (reference ignores via kwargs)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        y = L.Conv(self.ndf, (4, 4), (2, 2), padding=1, use_bias=True)(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        y = L.Conv(self.ndf, (4, 4), (2, 2), padding=1, use_bias=True,
+                   dtype=self.dtype)(x)
         y = nn.leaky_relu(y, negative_slope=0.2)
 
         nf_mult = 1
         for n in range(1, self.n_layers):
             nf_mult = min(2 ** n, 8)
             y = L.Conv(self.ndf * nf_mult, (4, 4), (2, 2), padding=1,
-                       use_bias=False)(y)
-            y = L.BatchNorm()(y, train)
+                       use_bias=False, dtype=self.dtype)(y)
+            y = L.BatchNorm(dtype=self.dtype)(y, train)
             y = nn.leaky_relu(y, negative_slope=0.2)
 
         nf_mult = min(2 ** self.n_layers, 8)
         y = L.Conv(self.ndf * nf_mult, (4, 4), (1, 1), padding=1,
-                   use_bias=False)(y)
-        y = L.BatchNorm()(y, train)
+                   use_bias=False, dtype=self.dtype)(y)
+        y = L.BatchNorm(dtype=self.dtype)(y, train)
         y = nn.leaky_relu(y, negative_slope=0.2)
 
-        y = L.Conv(1, (4, 4), (1, 1), padding=1, use_bias=True)(y)
+        y = L.Conv(1, (4, 4), (1, 1), padding=1, use_bias=True,
+                   dtype=self.dtype)(y)
         if self.use_sigmoid:
             y = nn.sigmoid(y)
         return y

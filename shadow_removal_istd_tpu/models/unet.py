@@ -8,6 +8,8 @@ concatenation, and a final 1x1 conv + activation. ngf=64 default.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -19,13 +21,16 @@ class _DoubleConv(nn.Module):
 
     features: int
     use_selu: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = L.ConvReflect(self.features, (3, 3), padding=1, use_bias=False)(x)
-        x = L.ActNorm(self.use_selu)(x, train)
-        x = L.ConvReflect(self.features, (3, 3), padding=1, use_bias=False)(x)
-        x = L.ActNorm(self.use_selu)(x, train)
+        x = L.ConvReflect(self.features, (3, 3), padding=1, use_bias=False,
+                          dtype=self.dtype)(x)
+        x = L.ActNorm(self.use_selu, dtype=self.dtype)(x, train)
+        x = L.ConvReflect(self.features, (3, 3), padding=1, use_bias=False,
+                          dtype=self.dtype)(x)
+        x = L.ActNorm(self.use_selu, dtype=self.dtype)(x, train)
         return x
 
 
@@ -38,24 +43,30 @@ class UNet(nn.Module):
     use_selu: bool = False
     activation: str | None = "tanh"
     depth: int = 4
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         ngf, d = self.ngf, self.depth
 
         links = []
         y = x
         for i in range(d):  # encoder: conv block then pool; link = conv out
-            y = _DoubleConv(ngf * (2 ** i), self.use_selu)(y, train)
+            y = _DoubleConv(ngf * (2 ** i), self.use_selu,
+                            dtype=self.dtype)(y, train)
             links.append(y)
             y = L.max_pool(y, 2)
 
-        y = _DoubleConv(ngf * (2 ** d), self.use_selu)(y, train)  # bottleneck
+        y = _DoubleConv(ngf * (2 ** d), self.use_selu,
+                        dtype=self.dtype)(y, train)  # bottleneck
 
         for i in reversed(range(d)):  # decoder
             y = L.Upsample(ngf * (2 ** i), no_conv_t=self.no_conv_t,
-                           use_bias=False)(y)
-            y = _DoubleConv(ngf * (2 ** i), self.use_selu)(
+                           use_bias=False, dtype=self.dtype)(y)
+            y = _DoubleConv(ngf * (2 ** i), self.use_selu,
+                            dtype=self.dtype)(
                 jnp.concatenate([y, links[i]], axis=-1), train)
             # Inner skip levels carry dropout; the outermost does not
             # (reference unet.py:40-49: outer block drop_rate=0).
@@ -63,6 +74,7 @@ class UNet(nn.Module):
                 drop = L.make_dropout(self.use_selu, self.drop_rate)
                 y = drop(y, train)
 
-        y = nn.Conv(self.out_channels, (1, 1), use_bias=False)(y)
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype)(y)
         act = L.get_activation(self.activation)
         return act(y) if act is not None else y
