@@ -94,14 +94,22 @@ def _unjitted_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
         x, m, y = batch
         kg1, kg2 = jax.random.split(rng)
 
-        # ---- G forward once; same dropout keys as the G phase so both
-        # phases see identical predictions (reference computes them once,
-        # src/cgan.py:282-286).
-        m_pred0, _ = _apply(models.g1, state.g_params["g1"],
-                            state.batch_stats["g1"], x, train=True, rng=kg1)
-        y_pred0, _ = _apply(models.g2, state.g_params["g2"],
-                            state.batch_stats["g2"], _cat(x, m_pred0),
-                            train=True, rng=kg2)
+        # ---- G forward EXACTLY ONCE, linearized via jax.vjp — like the
+        # reference's single forward whose graph serves both phases
+        # (src/cgan.py:282-286). The D phase consumes the primal outputs
+        # as constants; the G phase pulls its gradient back through the
+        # saved linearization instead of re-running the forward.
+        def g_forward(g_params):
+            m_pred, s_g1 = _apply(models.g1, g_params["g1"],
+                                  state.batch_stats["g1"], x,
+                                  train=True, rng=kg1)
+            y_pred, s_g2 = _apply(models.g2, g_params["g2"],
+                                  state.batch_stats["g2"],
+                                  _cat(x, m_pred), train=True, rng=kg2)
+            return (m_pred, y_pred), {"g1": s_g1, "g2": s_g2}
+
+        (m_pred0, y_pred0), g_vjp, g_stats = jax.vjp(
+            g_forward, state.g_params, has_aux=True)
         m_sg = jax.lax.stop_gradient(m_pred0)
         y_sg = jax.lax.stop_gradient(y_pred0)
 
@@ -145,13 +153,10 @@ def _unjitted_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
         stats_d1, stats_d2 = d_aux["stats"]
 
         # ---- G phase (against the updated D) -------------------------
-        def g_loss_fn(g_params):
-            m_pred, s_g1 = _apply(models.g1, g_params["g1"],
-                                  state.batch_stats["g1"], x,
-                                  train=True, rng=kg1)
-            y_pred, s_g2 = _apply(models.g2, g_params["g2"],
-                                  state.batch_stats["g2"],
-                                  _cat(x, m_pred), train=True, rng=kg2)
+        # gradient w.r.t. the G predictions, pulled back through the
+        # saved linearization: no second G forward.
+        def g_loss_fn(preds):
+            m_pred, y_pred = preds
             s1, s2 = stats_d1, stats_d2
             c1_real, s1 = _apply(models.d1, d_params["d1"], s1,
                                  _cat(x, m), train=True)
@@ -188,20 +193,21 @@ def _unjitted_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
                            + cfg.lambda2 * g1 + cfg.lambda3 * g2
                            + cfg.lambda4 * vis1 + cfg.lambda5 * vis2)
             aux = {
-                "stats": ({"g1": s_g1, "g2": s_g2}, (s1, s2)),
+                "stats": (s1, s2),
                 "G1": g1, "G2": g2, "data1": data1, "data2": data2,
                 "vis1": vis1, "vis2": vis2, "G": g_total,
                 "groups": groups,
             }
             return g_total, aux
 
-        (_, g_aux), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params)
+        (_, g_aux), pred_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)((m_pred0, y_pred0))
+        (g_grads,) = g_vjp(pred_grads)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, state.g_params)
         g_updates = jax.tree.map(lambda u: u * lr_scale_g, g_updates)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
-        g_stats, (stats_d1, stats_d2) = g_aux["stats"]
+        stats_d1, stats_d2 = g_aux["stats"]
         new_stats = {"g1": g_stats["g1"], "g2": g_stats["g2"],
                      "d1": stats_d1, "d2": stats_d2}
 
