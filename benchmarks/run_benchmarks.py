@@ -159,7 +159,8 @@ def bench_full_training():
     batch = 8 * max(n_dev, 1)
     cfg = TrainConfig(ngf=64, ndf=64, image_size=256, batch_size=batch,
                       use_visual_loss=False, droprate=0.05,
-                      steps_per_epoch=8)
+                      steps_per_epoch=8, compute_dtype="bfloat16",
+                      aug_method="shear")
     models = build_models(cfg)
     state = init_state(jax.random.key(0), cfg, models)
     mesh = make_mesh() if n_dev > 1 else None

@@ -125,6 +125,13 @@ def build_parser() -> argparse.ArgumentParser:
                         const=True, nargs="?",
                         help="keep the dataset in HBM and run whole "
                              "epochs as one device dispatch")
+    parser.add_argument("--aug-method", default="shear",
+                        choices=["gather", "shear"],
+                        help="augmentation kernel: exact bilinear gather "
+                             "or the ~7x faster Pallas 3-shear path")
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax.profiler trace of one "
+                             "training epoch into this directory")
     return parser
 
 
@@ -244,6 +251,7 @@ def main(args) -> None:
         aug_scale=args.aug_scale, aug_angle=args.aug_angle,
         use_visual_loss=args.vgg_weights is not None,
         compute_dtype=args.compute_dtype,
+        aug_method=args.aug_method,
     )
     run = RunConfig(
         data_dirs=tuple(args.data_dir),
@@ -255,6 +263,7 @@ def main(args) -> None:
         seed=args.manual_seed if args.manual_seed != -1 else 0,
         vgg_weights=args.vgg_weights, tasks=tuple(args.tasks),
         device_cache=args.device_cache,
+        profile_dir=args.profile_dir,
     )
 
     trainer = Trainer(cfg, run,

@@ -47,6 +47,9 @@ class TrainConfig:
     batch_size: int = 16
     aug_scale: float = 0.05
     aug_angle: float = 15.0
+    # "gather" = exact cv2-parity warp; "shear" = Pallas 3-shear fast
+    # path (~7x faster, differs on a ~1px border ring)
+    aug_method: str = "gather"
 
     # legacy-tree options (reference STCGAN/stcgan.py)
     lr_schedule: str = "exponential"   # or "plateau" (ReduceLROnPlateau)

@@ -35,7 +35,8 @@ def make_scanned_epoch(models: Models, cfg: TrainConfig, vgg_vars=None,
 
     aug_cfg = AugmentConfig(
         scale=cfg.aug_scale, angle=cfg.aug_angle, flip_prob=0.5,
-        crop_size=cfg.image_size, resize=cfg.aug_resize)
+        crop_size=cfg.image_size, resize=cfg.aug_resize,
+        method=cfg.aug_method)
     step_fn = _unjitted_train_step(models, cfg, vgg_vars)
 
     def epoch_fn(state: TrainState, arrays, idx_matrix, rng,

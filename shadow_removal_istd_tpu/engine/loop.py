@@ -77,6 +77,9 @@ class RunConfig:
     # run whole epochs as ONE device dispatch over the HBM-resident
     # dataset (engine/epoch.py); ~10s/epoch saved on tunneled hosts
     device_cache: bool = False
+    # jax.profiler trace directory (None = off); traces the first
+    # post-warmup training epoch for TensorBoard/XProf
+    profile_dir: str | None = None
 
 
 class Trainer:
@@ -158,7 +161,7 @@ class Trainer:
         self.aug_cfg = AugmentConfig(
             scale=self.cfg.aug_scale, angle=self.cfg.aug_angle,
             flip_prob=0.5, crop_size=self.cfg.image_size,
-            resize=self.cfg.aug_resize)
+            resize=self.cfg.aug_resize, method=self.cfg.aug_method)
         self._augment = jax.jit(
             lambda k, s: augment_batch(k, s, self.aug_cfg))
 
@@ -233,11 +236,23 @@ class Trainer:
         assert self.train_pipe is not None, "no training data"
         logger.info("start training: %d epochs, %d steps/epoch",
                     epochs, len(self.train_pipe))
+        from shadow_removal_istd_tpu.utils.profiling import StepTimer, trace
+        timer = StepTimer()
         t_start = time.time()
         for epoch in range(self.start_epoch, epochs):
-            self.run_train_epoch(epoch,
-                                 log_scalars=epoch % self.run.log_every == 0,
-                                 visualize=epoch % self.run.vis_every == 0)
+            # profile the second epoch (first is compile-dominated)
+            profile_now = (self.run.profile_dir
+                           and epoch == self.start_epoch + 1)
+            with trace(self.run.profile_dir if profile_now else None):
+                self.run_train_epoch(
+                    epoch,
+                    log_scalars=epoch % self.run.log_every == 0,
+                    visualize=epoch % self.run.vis_every == 0)
+            timer.update(len(self.train_pipe) * self.cfg.batch_size)
+            if epoch % self.run.log_every == 0:
+                self._writer("train").add_scalar(
+                    "perf/images_per_sec", timer.rate(), epoch)
+                timer.reset()
             if epoch % self.run.valid_every == 0 and self.valid_pipe:
                 total = self.run_valid_epoch(epoch)
                 if total < self.best_loss:

@@ -54,6 +54,11 @@ class AugmentConfig:
     # Done exactly (separate area/linear resample via matmuls), not
     # folded into the warp, to preserve INTER_AREA semantics.
     resize: tuple | None = None
+    # "gather": one exact bilinear gather (cv2-parity path).
+    # "shear":  Pallas 3-shear rotation + MXU matmul scaling — the fast
+    #           training path (dynamic slices instead of gathers; the
+    #           interpolation footprint differs slightly from cv2).
+    method: str = "gather"
 
 
 def sample_augment_params(key: jax.Array, batch: int,
@@ -118,14 +123,20 @@ def augment_batch(key: jax.Array, streams: tuple[jnp.ndarray, ...],
     h, w = stacked.shape[1], stacked.shape[2]
     params = sample_augment_params(key, batch, (h, w), cfg)
 
-    warped = jax.vmap(
-        _augment_one, in_axes=(0, 0, 0, 0, 0, 0, None)
-    )(stacked, params["scale"], params["angle"], params["flip"],
-      params["row_off"], params["col_off"], cfg.crop_size)
+    if cfg.method == "shear":
+        from shadow_removal_istd_tpu.ops.pallas_shear import (
+            fused_augment_shear,
+        )
+        warped = fused_augment_shear(stacked, params, cfg.crop_size)
+    else:
+        warped = jax.vmap(
+            _augment_one, in_axes=(0, 0, 0, 0, 0, 0, None)
+        )(stacked, params["scale"], params["angle"], params["flip"],
+          params["row_off"], params["col_off"], cfg.crop_size)
 
-    # uint8 [0,255] -> [-1, 1] (reference: uint2float then (x-0.5)*2,
-    # src/utils.py:60-62, src/dataset.py:149-153).
-    warped = warped * (2.0 / 255.0) - 1.0
+        # uint8 [0,255] -> [-1, 1] (reference: uint2float then (x-0.5)*2,
+        # src/utils.py:60-62, src/dataset.py:149-153).
+        warped = warped * (2.0 / 255.0) - 1.0
 
     out, start = [], 0
     for c in splits:
