@@ -156,7 +156,7 @@ def bench_full_training():
     from shadow_removal_istd_tpu.parallel import make_mesh, shard_state
 
     n_dev = len(jax.devices())
-    batch = 8 * max(n_dev, 1)
+    batch = 16 * max(n_dev, 1)
     cfg = TrainConfig(ngf=64, ndf=64, image_size=256, batch_size=batch,
                       use_visual_loss=False, droprate=0.05,
                       steps_per_epoch=8, compute_dtype="bfloat16",

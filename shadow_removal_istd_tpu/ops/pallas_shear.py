@@ -71,6 +71,10 @@ def hshear(img_chw: jnp.ndarray, shifts: jnp.ndarray,
     """
     bsz, c, h, wp0 = img_chw.shape
     assert h % ROW_BLOCK == 0, f"H={h} must be a multiple of {ROW_BLOCK}"
+    if not interpret and jax.default_backend() != "tpu":
+        # Mosaic kernels only compile for TPU; run the interpreter on
+        # CPU/GPU backends (slow but correct — tests, dry runs).
+        interpret = True
     src = shifts + pad                      # position in the padded frame
     kint = jnp.clip(jnp.floor(src), 0, wp0 - out_w - 1).astype(jnp.int32)
     frac = (src - jnp.floor(src)).astype(jnp.float32)
