@@ -135,6 +135,21 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: first compiles through the TPU
+    tunnel cost minutes; subsequent CLI invocations reuse them. Override
+    the location with SRIT_COMPILE_CACHE (empty string disables)."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "SRIT_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "srit_jax_cache"))
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def makedirs(args) -> None:
     """Run-dir naming encoding hyperparameters (src/main.py:100-118)."""
     arg_str = f"_lr{args.lr_G:.5f}_"
@@ -216,6 +231,7 @@ def _select_mesh(devices: list[str], batch_size: int):
 
 def main(args) -> None:
     time_str = time.strftime("%Y%m%d-%H%M%S")
+    _enable_compilation_cache()
     if args.load_args is not None:
         load_args(args)
     makedirs(args)

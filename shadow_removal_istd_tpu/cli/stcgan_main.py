@@ -90,6 +90,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(args) -> None:
+    from shadow_removal_istd_tpu.cli.main import _enable_compilation_cache
+    _enable_compilation_cache()
     time_str = time.strftime("%Y%m%d-%H%M%S")
     os.makedirs(args.logs, exist_ok=True)
     if "train" in args.tasks:

@@ -18,7 +18,6 @@ Two mechanisms, mirroring the reference's semantics
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 from flax import serialization

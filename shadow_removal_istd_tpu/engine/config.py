@@ -7,7 +7,7 @@ this; the engine treats it as static (baked into the jitted step).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

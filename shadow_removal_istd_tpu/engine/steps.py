@@ -29,9 +29,6 @@ global-batch BN) with no code changes.
 
 from __future__ import annotations
 
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -20,7 +20,7 @@ than the reference's per-replica DataParallel BN.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -159,6 +159,17 @@ class TestCheckpoint:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(restored.step) == int(state.step)
 
+    def test_orbax_roundtrip(self, tmp_path):
+        from shadow_removal_istd_tpu.engine import checkpoint as ckpt
+        cfg = tiny_cfg()
+        models, state = setup(cfg)
+        ckpt.save_checkpoint_orbax(state, str(tmp_path), step=5)
+        fresh = init_state(jax.random.key(9), cfg, models)
+        restored = ckpt.load_checkpoint_orbax(fresh, str(tmp_path), step=5)
+        for a, b in zip(jax.tree.leaves(state.g_params),
+                        jax.tree.leaves(restored.g_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_per_net_weights_roundtrip(self, tmp_path):
         from shadow_removal_istd_tpu.engine import checkpoint as ckpt
         cfg = tiny_cfg()
