@@ -194,39 +194,38 @@ def set_manual_seed(seed: int) -> None:
 
 
 def set_logger(log_file: str) -> None:
-    log_dir = os.path.dirname(log_file)
-    if log_dir and not os.path.exists(log_dir):
-        os.makedirs(log_dir)
-    fmt = logging.Formatter(
-        "%(asctime)s [%(module)s::%(funcName)s] %(levelname)s: %(message)s",
-        datefmt="%H:%M:%S")
-    root = logging.getLogger()
-    root.setLevel(logging.INFO)
-    fh = logging.FileHandler(log_file)
-    fh.setFormatter(fmt)
-    root.addHandler(fh)
-    ch = logging.StreamHandler()
-    ch.setFormatter(fmt)
-    root.addHandler(ch)
+    from shadow_removal_istd_tpu.utils.logging_utils import setup_logging
+    setup_logging(log_file)
 
 
 def _select_mesh(devices: list[str], batch_size: int):
     """Map --devices onto a JAX mesh (None = single default device).
 
-    The mesh size is capped to the largest divisor of the global batch
-    size so every device gets an equal shard.
+    Accepts a device count ("8") or a platform name ("tpu"/"cpu"); the
+    mesh size is capped to the largest divisor of the global batch size
+    so every device gets an equal shard.
     """
     import jax
     from shadow_removal_istd_tpu.parallel.mesh import make_mesh
 
+    avail = jax.devices()
     if devices and devices[0].isdigit():
         want = int(devices[0])
+    elif devices and not devices[0].isdigit():
+        try:  # platform name: restrict to that backend's devices
+            avail = jax.devices(devices[0])
+        except RuntimeError:
+            logger.warning("no %r devices; using default backend",
+                           devices[0])
+        want = len(avail)
     else:
-        want = len(jax.devices())
-    n = min(want, len(jax.devices()), batch_size)
+        want = len(avail)
+    n = min(want, len(avail), batch_size)
     while n > 1 and batch_size % n != 0:
         n -= 1
-    return make_mesh(n) if n > 1 else None
+    if n > 1:
+        return make_mesh(avail[:n])
+    return None
 
 
 def main(args) -> None:
@@ -265,7 +264,7 @@ def main(args) -> None:
         loss_mode=args.loss_mode, softadapt=args.softadapt,
         image_size=args.image_size, batch_size=args.batch_size,
         aug_scale=args.aug_scale, aug_angle=args.aug_angle,
-        use_visual_loss=args.vgg_weights is not None,
+        use_visual_loss=True,  # Trainer warns+disables if no weights
         compute_dtype=args.compute_dtype,
         aug_method=args.aug_method,
     )

@@ -17,6 +17,11 @@ its engine's fixed behaviour (STCGAN/stcgan.py):
 - DCGAN weight init applied at startup (stcgan.py:408-433). The
   reference's init draws BatchNorm scales from N(0,.02) — a bug we do
   not reproduce by default (use --init-compat for bit-parity).
+
+Known deliberate deviation: the reference's rel_avg branch computes
+G2's adversarial loss from D1's outputs (copy-paste bug,
+stcgan.py:286-290); this engine uses the correct D2 outputs. Listed in
+PARITY.md's quirk ledger.
 """
 
 from __future__ import annotations

@@ -35,8 +35,16 @@ class DeviceDatasetCache:
 
     def epoch_indices(self, key: jax.Array, batch_size: int,
                       drop_last: bool = True) -> jnp.ndarray:
-        """Shuffled (steps, batch) index matrix for one epoch."""
+        """Shuffled (steps, batch) index matrix for one epoch.
+
+        drop_last=False keeps every sample by wrapping the permutation
+        around to fill the ragged final batch (static shapes under jit
+        rule out a short batch)."""
         perm = jax.random.permutation(key, self.n)
-        steps = self.n // batch_size if drop_last \
-            else -(-self.n // batch_size)
-        return perm[: steps * batch_size].reshape(steps, batch_size)
+        if drop_last:
+            steps = self.n // batch_size
+            return perm[: steps * batch_size].reshape(steps, batch_size)
+        steps = -(-self.n // batch_size)
+        pad = steps * batch_size - self.n
+        full = jnp.concatenate([perm, perm[:pad]]) if pad else perm
+        return full.reshape(steps, batch_size)

@@ -75,7 +75,7 @@ class ISTDDataset:
 
     def _read(self, stream: str, idx: int) -> np.ndarray:
         path = self._files[stream][idx]
-        if stream in GRAY_STREAMS or (stream == "mask"):
+        if stream in GRAY_STREAMS:
             arr = imread_gray(path)[..., None]
         else:
             arr = imread_color(path)

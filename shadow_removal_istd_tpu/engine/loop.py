@@ -148,10 +148,16 @@ class Trainer:
         if run.vgg_weights and os.path.isfile(run.vgg_weights):
             from shadow_removal_istd_tpu.models.vgg import load_vgg_variables
             vgg_vars = load_vgg_variables(run.vgg_weights)
-        elif self.cfg.use_visual_loss and (cfg.lambda4 or cfg.lambda5):
+        elif cfg.lambda4 or cfg.lambda5:
+            # the reference always trains with the VGG perceptual terms
+            # (lambda4=5, lambda5=50 defaults); without converted weights
+            # we must drop them — say so loudly.
             logger.warning(
-                "visual loss enabled but no VGG weights available; "
-                "disabling (set run.vgg_weights or lambda4=lambda5=0)")
+                "visual loss weights lambda4=%s/lambda5=%s are nonzero "
+                "but no VGG weights are available — training WITHOUT the "
+                "perceptual loss terms (convert once with "
+                "tools/convert_vgg.py and pass --vgg-weights)",
+                cfg.lambda4, cfg.lambda5)
         self.vgg_vars = vgg_vars
 
         self.train_step = make_train_step(self.models, self.cfg, vgg_vars)

@@ -175,13 +175,15 @@ def _unjitted_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
             vis2 = _vis(y_pred, y)
             if cfg.softadapt:
                 # dynamic weighting of the (adv, data, visual) groups —
-                # the reference's dormant SoftAdapt design
-                # (src/cgan.py:164-169, src/loss.py:115-191)
+                # the reference's dormant SoftAdapt design fed RAW group
+                # losses with init weights [1, lambda1, lambda2]
+                # (src/cgan.py:164-169); the lambdas live in the weights,
+                # not the groups, so they are not applied twice.
                 from shadow_removal_istd_tpu.losses import softadapt_combine
                 groups = jnp.stack([
-                    cfg.lambda2 * g1 + cfg.lambda3 * g2,
-                    data1 + cfg.lambda1 * data2,
-                    cfg.lambda4 * vis1 + cfg.lambda5 * vis2,
+                    g1 + g2,
+                    data1 + data2,
+                    vis1 + vis2,
                 ])
                 g_total = softadapt_combine(state.softadapt, groups)
             else:

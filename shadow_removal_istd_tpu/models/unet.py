@@ -71,8 +71,10 @@ class UNet(nn.Module):
             # Inner skip levels carry dropout; the outermost does not
             # (reference unet.py:40-49: outer block drop_rate=0).
             if i > 0 and self.drop_rate > 0:
-                drop = L.make_dropout(self.use_selu, self.drop_rate)
-                y = drop(y, train)
+                # the reference's UNet never forwards use_selu to its
+                # SkipConnectionLayer (src/models/unet.py:40-49), so the
+                # executed dropout is always Dropout2d, even under SELU
+                y = L.Dropout2d(self.drop_rate)(y, train)
 
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                     dtype=self.dtype)(y)

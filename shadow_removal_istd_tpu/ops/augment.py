@@ -123,11 +123,18 @@ def augment_batch(key: jax.Array, streams: tuple[jnp.ndarray, ...],
     h, w = stacked.shape[1], stacked.shape[2]
     params = sample_augment_params(key, batch, (h, w), cfg)
 
-    if cfg.method == "shear":
+    use_shear = (cfg.method == "shear"
+                 and h % 8 == 0 and w % 8 == 0 and cfg.crop_size % 8 == 0)
+    if cfg.method == "shear" and not use_shear:
+        # the Pallas row-block layout needs /8-divisible dims; odd-sized
+        # datasets silently take the exact gather path instead
+        pass
+    if use_shear:
         from shadow_removal_istd_tpu.ops.pallas_shear import (
             fused_augment_shear,
         )
-        warped = fused_augment_shear(stacked, params, cfg.crop_size)
+        warped = fused_augment_shear(stacked, params, cfg.crop_size,
+                                     max_angle_deg=cfg.angle)
     else:
         warped = jax.vmap(
             _augment_one, in_axes=(0, 0, 0, 0, 0, 0, None)

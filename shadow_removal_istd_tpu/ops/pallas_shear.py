@@ -125,10 +125,13 @@ def scale_center(img_bchw: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
 
 def shear_rotate_crop(img_nhwc: jnp.ndarray, angle_deg: jnp.ndarray,
                       row_off: jnp.ndarray, col_off: jnp.ndarray,
-                      crop: int, interpret: bool = False) -> jnp.ndarray:
+                      crop: int, max_angle_deg: float = 15.0,
+                      interpret: bool = False) -> jnp.ndarray:
     """Rotation about the image center + crop via three shear passes.
 
-    img_nhwc: (B, H, W, C) float32. angle_deg/row_off/col_off: (B,).
+    img_nhwc: (B, H, W, C) float32. angle_deg/row_off/col_off: (B,);
+    ``max_angle_deg`` is the static bound on |angle_deg| used to size
+    the zero padding (exceeding it silently clamps the resample window).
     Returns (B, crop, crop, C). Equivalent augmentation to the exact
     bilinear rotation (three 1-D resamples instead of one 2-D; the
     interpolation footprint differs slightly — this is the fast
@@ -140,41 +143,57 @@ def shear_rotate_crop(img_nhwc: jnp.ndarray, angle_deg: jnp.ndarray,
     b = jnp.sin(theta)                  # y-shear coefficient
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
 
+    # Worst-case shift magnitudes size the pads AND the intermediate
+    # canvas: pass 1 pushes content up to a_max*h/2 columns off-frame
+    # that pass 3 shears back into view, so the intermediate passes run
+    # on a canvas expanded by ``margin`` on both sides.
+    t_max = math.radians(min(abs(max_angle_deg), 89.0))
+    a_max = math.tan(t_max / 2.0)
+    b_max = math.sin(t_max)
+    # margin is a multiple of 4 so the expanded width keeps the
+    # transposed pass-2 row count a multiple of ROW_BLOCK
+    margin = _round_up(math.ceil(a_max * h / 2.0) + 2, 4)
+    wx = w + 2 * margin                     # expanded canvas width
+    pad1 = 2 * margin
+    pad2 = math.ceil(b_max * wx / 2.0) + 4
+    pad3 = 4
+
     x = jnp.transpose(img_nhwc, (0, 3, 1, 2))  # (B, C, H, W)
 
     def pad_w(t, p):
         return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (p, p)))
 
-    # pass 1: x-shear (full width). source x of out col 0 in row r:
-    # shift = a * (r - cy); out col c samples x = c + shift.
-    pad1 = math.ceil(0.2 * max(h, w)) + 2
+    # pass 1: x-shear onto the expanded canvas. Output column c holds
+    # true x = c - margin; source x of out col 0 in row r is
+    # s1(r) - margin with s1 = a * (r - cy).
     rows = jnp.arange(h, dtype=jnp.float32)
-    s1 = a[:, None] * (rows[None, :] - cy)            # (B, H)
-    x = hshear(pad_w(x, pad1), s1, w, pad1, interpret)
+    s1 = a[:, None] * (rows[None, :] - cy) - margin   # (B, H)
+    x = hshear(pad_w(x, pad1), s1, wx, pad1, interpret)
 
     # pass 2: y-shear as x-shear of the transpose; crop rows to the
-    # requested window while we are in this orientation.
-    x = jnp.transpose(x, (0, 1, 3, 2))               # (B, C, W, H)
-    cols = jnp.arange(w, dtype=jnp.float32)
+    # requested window while we are in this orientation. Column index
+    # c_exp on the expanded canvas has true x = c_exp - margin.
+    x = jnp.transpose(x, (0, 1, 3, 2))               # (B, C, Wx, H)
+    cols = jnp.arange(wx, dtype=jnp.float32) - margin
     s2 = (b[:, None] * (cols[None, :] - cx)
-          + row_off[:, None].astype(jnp.float32))     # (B, W)
-    pad2 = pad1 + 2
+          + row_off[:, None].astype(jnp.float32))     # (B, Wx)
     x = hshear(pad_w(x, pad2), s2, crop, pad2, interpret)
 
-    # pass 3: final x-shear + column crop. rows are now the cropped
-    # output rows (absolute row = row_off + r).
-    x = jnp.transpose(x, (0, 1, 3, 2))               # (B, C, crop, W)
+    # pass 3: final x-shear + column crop off the expanded canvas
+    # (source position = true x + margin).
+    x = jnp.transpose(x, (0, 1, 3, 2))               # (B, C, crop, Wx)
     rows_c = jnp.arange(crop, dtype=jnp.float32)
     abs_rows = rows_c[None, :] + row_off[:, None].astype(jnp.float32)
     s3 = (a[:, None] * (abs_rows - cy)
-          + col_off[:, None].astype(jnp.float32))     # (B, crop)
-    x = hshear(pad_w(x, pad2), s3, crop, pad2, interpret)
+          + col_off[:, None].astype(jnp.float32) + margin)  # (B, crop)
+    x = hshear(pad_w(x, pad3), s3, crop, pad3, interpret)
 
     return jnp.transpose(x, (0, 2, 3, 1))            # (B, crop, crop, C)
 
 
 def fused_augment_shear(stacked_u8: jnp.ndarray, params: dict,
-                        crop: int, interpret: bool = False) -> jnp.ndarray:
+                        crop: int, max_angle_deg: float = 15.0,
+                        interpret: bool = False) -> jnp.ndarray:
     """Full fast-path augmentation: scale -> rotate -> flip -> crop ->
     [-1,1] normalize, same op order as the reference's transform chain
     (src/transform.py wiring at src/cgan.py:105-110).
@@ -194,6 +213,7 @@ def fused_augment_shear(stacked_u8: jnp.ndarray, params: dict,
     flip = params["flip"]
     co = jnp.where(flip, w - crop - params["col_off"], params["col_off"])
     out = shear_rotate_crop(x, params["angle"], params["row_off"], co,
-                            crop, interpret=interpret)
+                            crop, max_angle_deg=max_angle_deg,
+                            interpret=interpret)
     out = jnp.where(flip[:, None, None, None], out[:, :, ::-1, :], out)
     return out * (2.0 / 255.0) - 1.0

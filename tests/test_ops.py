@@ -202,3 +202,34 @@ class TestAugment:
         # so float32 rounding can land one code value below.
         diff = np.abs(back.astype(np.int32) - img.astype(np.int32))
         assert diff.max() <= 1
+
+
+class TestReferenceChainParity:
+    def test_composed_warp_vs_cv2_two_pass_chain(self, rng):
+        """The reference applies scale and rotation as two separate
+        cv2.warpAffine resamples (src/transform.py:59-100); our fused
+        path composes them into one. On smooth images the composed
+        single resample tracks the two-pass chain closely (it is
+        strictly *less* interpolation blur)."""
+        h, w = 96, 128
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = np.stack([np.sin(xx / 9) + np.cos(yy / 7),
+                        np.cos(xx / 13), (xx + yy) / (h + w)],
+                       -1).astype(np.float32)
+        scale, angle = 0.97, 9.0
+        ro, co, crop = 10, 20, 64
+        center = ((w - 1) / 2.0, (h - 1) / 2.0)
+        m1 = cv.getRotationMatrix2D(center, 0, scale)
+        i1 = cv.warpAffine(img, m1, (w, h), flags=cv.INTER_AREA,
+                           borderMode=cv.BORDER_CONSTANT)
+        m2 = cv.getRotationMatrix2D(center, angle, 1)
+        i2 = cv.warpAffine(i1, m2, (w, h), flags=cv.INTER_LINEAR,
+                           borderMode=cv.BORDER_CONSTANT)
+        ref = i2[ro:ro + crop, co:co + crop]
+        m = rotation_scale_matrix(angle, scale, center)
+        ours = np.asarray(affine_warp(
+            jnp.asarray(img), invert_affine(m), out_shape=(crop, crop),
+            offset=(float(ro), float(co))))
+        diff = np.abs(ours - ref)
+        assert diff.mean() < 5e-3
+        assert diff.max() < 5e-2

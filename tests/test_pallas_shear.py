@@ -109,3 +109,25 @@ class TestShearAugmentPath:
         cfg = AugmentConfig(crop_size=64, method="shear")
         a, b = augment_batch(jax.random.key(7), (img, img), cfg)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestLargeAngles:
+    @pytest.mark.parametrize("angle", [25.0, -40.0])
+    def test_padding_covers_large_rotations(self, angle):
+        """pads are sized from the static angle bound, so large
+        --aug-angle values stay geometrically correct (regression for
+        the clamped-resample-window bug)."""
+        img = _smooth(n=1)[0].astype(np.float32)
+        h, w = img.shape[:2]
+        crop, ro, co = 48, h - 48, w - 48  # far corner = worst case
+        fast = np.asarray(pallas_shear.shear_rotate_crop(
+            jnp.asarray(img[None]), jnp.asarray([angle]),
+            jnp.asarray([float(ro)]), jnp.asarray([float(co)]), crop,
+            max_angle_deg=abs(angle), interpret=True))[0]
+        m = rotation_scale_matrix(angle, 1.0, ((w - 1) / 2, (h - 1) / 2))
+        exact = np.asarray(affine_warp(
+            jnp.asarray(img), invert_affine(m), out_shape=(crop, crop),
+            offset=(float(ro), float(co))))
+        # interior parity holds even at large angles (border ring aside)
+        assert np.median(np.abs(fast - exact)) < 0.01 * 255
+        assert np.abs(fast - exact).mean() < 0.02 * 255
