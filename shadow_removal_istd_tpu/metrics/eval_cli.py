@@ -65,8 +65,20 @@ def _antialias_mask(mask: np.ndarray, out_shape: tuple[int, int]):
 
 
 def all_metrics(dir1: str, dir2: str, size: int | None = None,
-                maskdir: str | None = None) -> dict:
+                maskdir: str | None = None,
+                batch_size: int = 16) -> dict:
+    """Dataset metrics per the reference protocol (src/eval.py:41-115).
+
+    When every image in the split shares one resolution (ISTD does),
+    the LAB metric runs batched on device — one dispatch per
+    ``batch_size`` images instead of per image.
+    """
     files = sorted(os.listdir(dir1))
+    if maskdir is not None and batch_size > 1:
+        batched = _try_all_metrics_batched(dir1, dir2, maskdir, files,
+                                           size, batch_size)
+        if batched is not None:
+            return batched
     parts = []
     psnrs, ssims = [], []
     for f in files:
@@ -100,6 +112,44 @@ def all_metrics(dir1: str, dir2: str, size: int | None = None,
         results["psnr"] = float(np.mean(psnrs))
         results["ssim"] = float(np.mean(ssims))
     return results
+
+
+def _try_all_metrics_batched(dir1, dir2, maskdir, files, size,
+                             batch_size):
+    """Batched on-device path; returns None when shapes are mixed."""
+    import jax
+
+    first = _load_rgb01(os.path.join(dir1, files[0]))
+    shape = first.shape
+
+    @jax.jit
+    def run(a, b, m):
+        return region_metrics(rgb_to_lab(a), rgb_to_lab(b), m)
+
+    parts = []
+    for start in range(0, len(files), batch_size):
+        chunk = files[start:start + batch_size]
+        imgs1, imgs2, masks = [], [], []
+        for f in chunk:
+            i1 = _load_rgb01(os.path.join(dir1, f))
+            if i1.shape != shape:
+                return None  # mixed resolutions: per-image path
+            i2 = _resize(_load_rgb01(os.path.join(dir2, f)), shape[:2])
+            mask = imread_gray(
+                os.path.join(maskdir, f)).astype(np.float32) / 255.0
+            mask = _resize(mask, shape[:2])
+            if size is not None:
+                i1 = _resize(i1, (size, size))
+                i2 = _resize(i2, (size, size))
+                mask = _antialias_mask(mask, (size, size))
+            imgs1.append(i1)
+            imgs2.append(i2)
+            masks.append(mask > 0.5)
+        out = run(jnp.asarray(np.stack(imgs1)),
+                  jnp.asarray(np.stack(imgs2)),
+                  jnp.asarray(np.stack(masks)))
+        parts.append({k: float(v) for k, v in out.items()})
+    return aggregate_regions(parts)
 
 
 def main(argv=None):

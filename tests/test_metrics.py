@@ -141,3 +141,28 @@ class TestEvalCLI:
         res = all_metrics(str(d1), str(d1), size=None,
                           maskdir=None)
         assert res["rmse_all"] == pytest.approx(0.0, abs=1e-4)
+
+
+class TestBatchedEval:
+    def test_batched_equals_per_image(self, tmp_path, rng):
+        from shadow_removal_istd_tpu.metrics.eval_cli import all_metrics
+        from shadow_removal_istd_tpu.utils.image_io import imwrite
+        import os
+        d1, d2, dm = (tmp_path / n for n in ("pred", "gt", "mask"))
+        for d in (d1, d2, dm):
+            os.makedirs(d)
+        for i in range(5):
+            img = rng.integers(0, 256, (24, 32, 3), np.uint8)
+            noisy = np.clip(img.astype(int)
+                            + rng.integers(-20, 20, img.shape), 0,
+                            255).astype(np.uint8)
+            mask = (rng.uniform(size=(24, 32)) > 0.5).astype(np.uint8) * 255
+            imwrite(str(d1 / f"{i}.png"), img)
+            imwrite(str(d2 / f"{i}.png"), noisy)
+            imwrite(str(dm / f"{i}.png"), mask)
+        batched = all_metrics(str(d1), str(d2), size=None,
+                              maskdir=str(dm), batch_size=2)
+        per_img = all_metrics(str(d1), str(d2), size=None,
+                              maskdir=str(dm), batch_size=1)
+        for k in per_img:
+            assert batched[k] == pytest.approx(per_img[k], rel=1e-4), k
