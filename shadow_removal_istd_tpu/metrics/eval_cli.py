@@ -164,7 +164,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
-    with open(os.path.join(os.path.curdir, "args.json"), "w") as fp:
+    # Snapshot args next to the logfile, not the cwd (the reference's
+    # eval.py writes ./args.json wherever it runs — a quirk we fix).
+    snap_dir = os.path.dirname(os.path.abspath(args.logfile))
+    os.makedirs(snap_dir, exist_ok=True)
+    with open(os.path.join(snap_dir, "eval_args.json"), "w") as fp:
         json.dump(vars(args), fp, indent=4, sort_keys=True)
 
     errors = all_metrics(args.dir1, args.dir2, size=args.image_size,
