@@ -108,21 +108,54 @@ class Conv(nn.Module):
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm with torch defaults (eps 1e-5, momentum 0.1).
+    """BatchNorm matching torch nn.BatchNorm2d semantics exactly.
+
+    eps 1e-5; running stats updated as ``0.9*old + 0.1*new`` (torch
+    momentum 0.1) with the **unbiased** batch variance (n/(n-1)) — the
+    one place flax's nn.BatchNorm deviates from torch (flax stores the
+    biased variance), which matters for checkpoint interchange with the
+    reference and for eval-mode parity after training. Normalization in
+    train mode uses the biased batch variance, as torch does.
 
     Statistics always accumulate in float32 — under bf16 compute the
     input is upcast for the reduction (standard mixed-precision
     practice); the output returns in the surrounding compute dtype.
+    Under GSPMD data parallelism the reductions below run over the
+    *global* batch (XLA partitions them), which is strictly stronger
+    than the reference's per-replica DataParallel BN.
     """
 
     dtype: Any = None
+    epsilon: float = 1e-5
+    momentum: float = 0.1  # torch convention: weight of the NEW stats
 
     @nn.compact
     def __call__(self, x, train: bool):
         in_dtype = x.dtype
-        y = nn.BatchNorm(use_running_average=not train,
-                         momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32)(x.astype(jnp.float32))
+        x32 = x.astype(jnp.float32)
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if train:
+            axes = tuple(range(x32.ndim - 1))
+            mean = jnp.mean(x32, axes)
+            mean2 = jnp.mean(jnp.square(x32), axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)  # biased
+            if not self.is_initializing():
+                n = x32.size / c
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x32 - mean) * (scale * jax.lax.rsqrt(var + self.epsilon)) + bias
         out_dtype = self.dtype or in_dtype
         return y.astype(out_dtype)
 

@@ -5,8 +5,9 @@ reflect-conv stem, depth-4 encoder of (LeakyReLU -> 4x4s2 reflect conv ->
 BN) blocks with channels capped at 8*ngf, decoder of (LeakyReLU ->
 2x upsample -> BN) blocks whose outputs concatenate the *input* of the
 matching encoder block, and a final upsample back to input resolution
-with the output activation. Skip links carry the encoder block inputs
-(mnet.py:96 returns ``(model(x), x)``).
+with the output activation. Skip links carry the encoder blocks'
+post-LeakyReLU activations (mnet.py:96 returns ``(model(x), x)`` where
+the inplace LeakyReLU heading ``model`` has already mutated ``x``).
 """
 
 from __future__ import annotations
@@ -20,18 +21,25 @@ import jax.numpy as jnp
 
 
 class _Down(nn.Module):
-    """LeakyReLU -> 4x4s2 reflect conv -> BN (reference mnet._conv_block)."""
+    """LeakyReLU -> 4x4s2 reflect conv -> BN (reference mnet._conv_block).
+
+    The link carries the POST-LeakyReLU activation: the reference's
+    ``_conv_block.forward`` returns ``(model(x), x)``, but ``model``
+    opens with ``nn.LeakyReLU(inplace=True)`` which mutates ``x``'s
+    storage before the link is consumed (mnet.py:86-99) — so the
+    executed semantics concatenate ``leaky_relu(x)``, not ``x``.
+    """
 
     features: int
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        y = nn.leaky_relu(x, negative_slope=0.2)
+        a = nn.leaky_relu(x, negative_slope=0.2)
         y = L.ConvReflect(self.features, (4, 4), (2, 2), padding=1,
-                          use_bias=False, dtype=self.dtype)(y)
+                          use_bias=False, dtype=self.dtype)(a)
         y = L.BatchNorm(dtype=self.dtype)(y, train)
-        return y, x  # link carries the block INPUT
+        return y, a
 
 
 class _Up(nn.Module):

@@ -84,9 +84,16 @@ class Pix2PixUNet(nn.Module):
             # stcgan_g.py:36-40 passes use_dropout to those levels only)
             if self.use_dropout and 4 <= level <= self.num_downs - 2:
                 y = nn.Dropout(0.5, deterministic=not train)(y)
+            # Skip-concat semantics (reference stcgan_g.py:123-139): the
+            # block's leading LeakyReLU(inplace=True) mutates x before
+            # ``torch.cat([x, self.model(x)])`` reads it — UNLESS the
+            # odd-size branch ran, where F.pad copies x first. So even
+            # dims concat leaky_relu(x); odd dims concat the raw x.
             if ph or pw:
                 y = y[:, :h, :w, :]
-            return jnp.concatenate([x, y], axis=-1)
+                return jnp.concatenate([x, y], axis=-1)
+            return jnp.concatenate(
+                [nn.leaky_relu(x, negative_slope=0.2), y], axis=-1)
 
         return block(x, 0)
 
