@@ -28,6 +28,7 @@ class TrainConfig:
     decay: float = 0.003        # per-epoch exponential decay, gamma=1-decay
     beta1: float = 0.5
     beta2: float = 0.999
+    adam_eps: float = 1e-8      # torch Adam default
 
     # loss weights (src/main.py:216-236); lambda1..5 as there
     lambda1: float = 5.0        # data2 (shadow-free L1)

@@ -79,8 +79,10 @@ def make_optimizers(cfg: TrainConfig):
             return base_lr * (1.0 - cfg.decay) ** epoch
         return lr
 
-    tx_g = optax.adam(sched(cfg.lr_g), b1=cfg.beta1, b2=cfg.beta2)
-    tx_d = optax.adam(sched(cfg.lr_d), b1=cfg.beta1, b2=cfg.beta2)
+    tx_g = optax.adam(sched(cfg.lr_g), b1=cfg.beta1, b2=cfg.beta2,
+                      eps=cfg.adam_eps)
+    tx_d = optax.adam(sched(cfg.lr_d), b1=cfg.beta1, b2=cfg.beta2,
+                      eps=cfg.adam_eps)
     return tx_g, tx_d
 
 

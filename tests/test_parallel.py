@@ -24,9 +24,13 @@ SIZE = 32
 
 
 def _cfg():
+    # adam_eps=1e-3 keeps the sharded==single-device comparison sharp:
+    # with the default 1e-8, a first Adam step is ~lr*sign(grad), so the
+    # different reduction order of the psum'd gradients flips near-zero
+    # elements to full ±lr deltas that say nothing about correctness.
     return TrainConfig(ngf=4, ndf=4, image_size=SIZE, batch_size=8,
                        use_visual_loss=False, droprate=0.0,
-                       steps_per_epoch=2)
+                       steps_per_epoch=2, adam_eps=1e-3)
 
 
 def _batch(n=8):
