@@ -142,11 +142,16 @@ def bench_train_step():
 
 def bench_full_training():
     """Config 4: full epoch with fused on-device augmentation from
-    480x640 sources (data-parallel over all devices)."""
+    480x640 sources loaded through the HDF5 dataset (data-parallel over
+    all devices). Matches BASELINE config 4: dataset_h5 loader + fused
+    augmentations (reference STCGAN/dataset_h5.py:34-65)."""
+    import tempfile
+
     from shadow_removal_istd_tpu.data.device_cache import (
         DeviceDatasetCache,
     )
-    from shadow_removal_istd_tpu.data.synthetic import synthetic_triplets
+    from shadow_removal_istd_tpu.data.h5 import ISTDH5Dataset, build_h5
+    from shadow_removal_istd_tpu.data.synthetic import write_istd_layout
     from shadow_removal_istd_tpu.engine import (
         TrainConfig,
         build_models,
@@ -166,8 +171,17 @@ def bench_full_training():
     mesh = make_mesh() if n_dev > 1 else None
     if mesh is not None:
         state = shard_state(mesh, state)
-    data = synthetic_triplets(128, 480, 640, seed=0)
-    streams = {k: data[k] for k in ("img", "matte", "target")}
+    with tempfile.TemporaryDirectory() as tmp:
+        root = os.path.join(tmp, "istd")
+        write_istd_layout(root, n_train=128, n_test=2, h=480, w=640)
+        h5_path = os.path.join(tmp, "istd.h5")
+        build_h5(h5_path, root)
+        t0 = time.perf_counter()
+        streams = ISTDH5Dataset(h5_path, "train").load_streams(
+            ("img", "matte", "target"))
+        h5_dt = time.perf_counter() - t0
+    _result("HDF5 bulk load (128 x 480x640 triplets)",
+            128 / h5_dt, "images/sec")
     cache = DeviceDatasetCache(streams)
     epoch_fn = make_scanned_epoch(models, cfg)
     idx = cache.epoch_indices(jax.random.key(1), cfg.batch_size)

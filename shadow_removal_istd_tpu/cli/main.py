@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data-dir", default=[],
                         type=lambda s: re.split(", *| +", s),
                         help="root folder(s) with images")
+    parser.add_argument("--data-h5", default=None,
+                        help="HDF5 dataset file (build with "
+                             "shadow_removal_istd_tpu.data.h5.build_h5); "
+                             "takes precedence over --data-dir")
     parser.add_argument("--workers", default=4, type=int,
                         help="kept for CLI parity; the host pipeline is "
                              "prefetch-based, not worker-based")
@@ -113,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extensions (not in the reference)
     parser.add_argument("--vgg-weights", default=None,
                         help="converted VGG19-BN .npz for the visual loss")
+    parser.add_argument("--allow-missing-vgg", action="store_true",
+                        help="train WITHOUT the perceptual terms (warning "
+                             "instead of an error) when lambda4/lambda5 "
+                             "are nonzero but no --vgg-weights is given")
     parser.add_argument("--loss-mode", default="reference",
                         choices=["reference", "corrected"],
                         help="reference-exact vs corrected adversarial "
@@ -269,14 +277,15 @@ def main(args) -> None:
         aug_method=args.aug_method,
     )
     run = RunConfig(
-        data_dirs=tuple(args.data_dir),
+        data_dirs=tuple(args.data_dir), data_h5=args.data_h5,
         logs_dir=args.logs, weights_dir=args.weights,
         infered_dir=args.infered,
         checkpoint_path=os.path.join(args.weights, "checkpoint.msgpack"),
         log_every=args.log_every, valid_every=args.valid_every,
         vis_every=args.vis_every, save_every=args.save_every,
         seed=args.manual_seed if args.manual_seed != -1 else 0,
-        vgg_weights=args.vgg_weights, tasks=tuple(args.tasks),
+        vgg_weights=args.vgg_weights,
+        allow_missing_vgg=args.allow_missing_vgg, tasks=tuple(args.tasks),
         device_cache=args.device_cache,
         profile_dir=args.profile_dir,
     )

@@ -61,6 +61,43 @@ class ISTDH5Dataset:
         targets = (targets - ISTD_MEAN) / ISTD_STD
         return {"img": imgs, "target": targets, "sp": sps}
 
+    def filenames(self) -> list[str]:
+        names = self._h5["filename"][:]
+        return [n.decode() if isinstance(n, bytes) else str(n)
+                for n in names]
+
+    def load_streams(self, datas=("img", "matte", "target")):
+        """Bulk-load Trainer-format streams: uint8 (N,H,W,C) per key.
+
+        ``img``/``target`` invert the builder's /255 exactly; ``matte``/
+        ``mask`` come from the extension datasets our builder adds
+        (build_h5) — files produced by other writers with only the
+        reference fields (input_img/target_img/sp) can't feed the
+        engine's matte-conditioned D1 and raise a clear error. ``sp``
+        (float32) is also selectable for sp-space pipelines.
+        """
+        out: dict[str, np.ndarray] = {}
+        for key in datas:
+            if key == "img":
+                a = np.asarray(self._h5["input_img"], dtype=np.float32)
+                out[key] = np.round(a * 255.0).astype(np.uint8)
+            elif key == "target":
+                a = np.asarray(self._h5["target_img"], dtype=np.float32)
+                out[key] = np.round(a * 255.0).astype(np.uint8)
+            elif key in ("matte", "mask"):
+                if key not in self._h5:
+                    raise KeyError(
+                        f"HDF5 file has no {key!r} dataset — rebuild it "
+                        "with shadow_removal_istd_tpu.data.h5.build_h5 "
+                        "(the reference's dataset_h5 layout carries only "
+                        "input_img/target_img/sp)")
+                out[key] = np.asarray(self._h5[key], dtype=np.uint8)
+            elif key == "sp":
+                out[key] = np.asarray(self._h5["sp"], dtype=np.float32)
+            else:
+                raise KeyError(f"unknown stream {key!r}")
+        return out
+
 
 def build_h5(out_path: str, root_dir: str, subsets=("train", "test"),
              sp_dir: str | None = None) -> None:
@@ -76,8 +113,16 @@ def build_h5(out_path: str, root_dir: str, subsets=("train", "test"),
 
     with h5py.File(out_path, "w") as h5:
         for subset in subsets:
+            # extension streams beyond the reference layout: matte/mask
+            # (uint8) when their directories exist, so the engine's
+            # matte-conditioned pipeline can train from the file.
+            extra = [
+                s for s in ("matte", "mask")
+                if os.path.isdir(os.path.join(
+                    root_dir, subset, f"{subset}_{'matte' if s == 'matte' else 'B'}"))
+            ]
             ds = ISTDDataset(root_dir, subset=subset,
-                             datas=("img", "target"))
+                             datas=tuple(["img", "target"] + extra))
             data = ds.load_all()
             imgs = data["img"].astype(np.float32) / 255.0
             targets = data["target"].astype(np.float32) / 255.0
@@ -97,6 +142,8 @@ def build_h5(out_path: str, root_dir: str, subsets=("train", "test"),
             grp.create_dataset("input_img", data=imgs)
             grp.create_dataset("target_img", data=targets)
             grp.create_dataset("sp", data=np.stack(sps))
+            for s in extra:
+                grp.create_dataset(s, data=data[s])
             grp.create_dataset(
                 "filename",
                 data=np.array([ds.filename(i) for i in range(len(ds))],

@@ -63,6 +63,8 @@ class RunConfig:
     """Run-level knobs (paths, intervals) — the non-model CLI surface."""
 
     data_dirs: tuple[str, ...] = ()
+    data_h5: str | None = None  # HDF5 dataset file (data/h5.py layout);
+    # takes precedence over data_dirs when set
     logs_dir: str = "./logs"
     weights_dir: str = "./weights"
     infered_dir: str = "./infered"
@@ -73,6 +75,8 @@ class RunConfig:
     save_every: int = 50
     seed: int = 38107943
     vgg_weights: str | None = None
+    allow_missing_vgg: bool = False  # warn instead of failing when the
+    # visual-loss lambdas are nonzero but no VGG weights are available
     tasks: tuple[str, ...] = ("train",)
     # run whole epochs as ONE device dispatch over the HBM-resident
     # dataset (engine/epoch.py); ~10s/epoch saved on tunneled hosts
@@ -96,7 +100,9 @@ class Trainer:
         self.mesh = mesh
         self.rng = jax.random.PRNGKey(run.seed)
 
-        if train_streams is None and run.data_dirs:
+        if train_streams is None and run.data_h5:
+            train_streams, valid_streams, valid_names = self._load_h5()
+        elif train_streams is None and run.data_dirs:
             train_streams, valid_streams, valid_names = self._load_dirs()
         self.valid_names = valid_names or []
 
@@ -145,19 +151,28 @@ class Trainer:
             self.plateau_d = ReduceLROnPlateau(self.cfg.lr_d)
 
         vgg_vars = None
-        if run.vgg_weights and os.path.isfile(run.vgg_weights):
+        if run.vgg_weights:
+            if not os.path.isfile(run.vgg_weights):
+                raise FileNotFoundError(
+                    f"--vgg-weights {run.vgg_weights!r} does not exist")
             from shadow_removal_istd_tpu.models.vgg import load_vgg_variables
             vgg_vars = load_vgg_variables(run.vgg_weights)
-        elif cfg.lambda4 or cfg.lambda5:
-            # the reference always trains with the VGG perceptual terms
-            # (lambda4=5, lambda5=50 defaults); without converted weights
-            # we must drop them — say so loudly.
-            logger.warning(
-                "visual loss weights lambda4=%s/lambda5=%s are nonzero "
-                "but no VGG weights are available — training WITHOUT the "
-                "perceptual loss terms (convert once with "
-                "tools/convert_vgg.py and pass --vgg-weights)",
-                cfg.lambda4, cfg.lambda5)
+        elif (cfg.use_visual_loss and (cfg.lambda4 or cfg.lambda5)
+              and "train" in run.tasks):
+            # The reference always trains with the VGG perceptual terms
+            # (lambda4=5, lambda5=50 defaults, src/main.py:216-236).
+            # Without converted weights the objective would silently
+            # differ, so fail fast unless explicitly overridden.
+            msg = (
+                f"visual loss weights lambda4={cfg.lambda4}/"
+                f"lambda5={cfg.lambda5} are nonzero but no VGG weights "
+                "were given — convert once with tools/convert_vgg.py and "
+                "pass --vgg-weights, or set --lambda4 0 --lambda5 0, or "
+                "pass --allow-missing-vgg to train WITHOUT the "
+                "perceptual terms")
+            if not run.allow_missing_vgg:
+                raise ValueError(msg)
+            logger.warning("%s (continuing without them)", msg)
         self.vgg_vars = vgg_vars
 
         self.train_step = make_train_step(self.models, self.cfg, vgg_vars)
@@ -207,6 +222,20 @@ class Trainer:
         self._writers: dict = {}
 
     # ------------------------------------------------------------ data
+    def _load_h5(self):
+        """Bulk-load train/valid streams from the HDF5 dataset
+        (reference STCGAN/dataset_h5.py layout + our matte extension):
+        one read per stream -> host arrays -> the same device-cache /
+        fused-epoch path as the directory loader."""
+        from shadow_removal_istd_tpu.data.h5 import ISTDH5Dataset
+
+        datas = tuple(self.cfg.train_datas)
+        tr = ISTDH5Dataset(self.run.data_h5, "train")
+        va = ISTDH5Dataset(self.run.data_h5, "test")
+        train = tr.load_streams(datas)
+        valid = va.load_streams(datas)
+        return train, valid, va.filenames()
+
     def _load_dirs(self):
         train_parts, valid_parts, names = [], [], []
         datas = self.cfg.train_datas

@@ -16,4 +16,7 @@ from shadow_removal_istd_tpu.losses.softadapt import (  # noqa: F401
     softadapt_init,
     softadapt_update,
 )
-from shadow_removal_istd_tpu.losses.visual import visual_loss  # noqa: F401
+from shadow_removal_istd_tpu.losses.visual import (  # noqa: F401
+    sp_visual_loss,
+    visual_loss,
+)

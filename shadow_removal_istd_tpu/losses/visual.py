@@ -39,3 +39,29 @@ def visual_loss(vgg_variables: Any, pred_pm1: jnp.ndarray,
     f_pred = _features(vgg_variables, pred_pm1)
     f_target = jax.lax.stop_gradient(_features(vgg_variables, target_pm1))
     return jnp.mean((f_pred - f_target) ** 2)
+
+
+def sp_visual_loss(vgg_variables: Any, x_norm: jnp.ndarray,
+                   sp_pred: jnp.ndarray,
+                   img_target01: jnp.ndarray) -> jnp.ndarray:
+    """Legacy sp-space perceptual loss (reference STCGAN/loss.py:42-56).
+
+    The predicted shadow parameters reconstruct the shadow-free image:
+    the mean/std-normalized input is denormalized with the ISTD dataset
+    statistics (dataset_h5.py:16-18), multiplied by ``sp_pred`` and
+    clamped to [0,1]; VGG features of that reconstruction are matched
+    against features of the [0,1] target. Reference quirks preserved:
+    NO ImageNet normalization before the VGG (unlike the new tree's
+    VisualLoss), and the target branch is under no_grad.
+
+    Dormant in the reference (STCGAN/stcgan.py never instantiates it);
+    provided for API completeness — see PARITY.md.
+    """
+    from shadow_removal_istd_tpu.data.h5 import ISTD_MEAN, ISTD_STD
+
+    img_in = x_norm * jnp.asarray(ISTD_STD) + jnp.asarray(ISTD_MEAN)
+    img_pred = jnp.clip(sp_pred * img_in, 0.0, 1.0)
+    f_pred = _vgg.apply(vgg_variables, img_pred)
+    f_target = jax.lax.stop_gradient(
+        _vgg.apply(vgg_variables, img_target01))
+    return jnp.mean((f_pred - f_target) ** 2)

@@ -103,8 +103,16 @@ class TestEndToEnd:
             "--logs", str(tmp_path / "l"),
             "--infered", str(tmp_path / "out"),
         ]
+        # default lambdas + no VGG weights must fail fast (the reference
+        # trains with the perceptual terms; silently dropping them would
+        # change the objective)
+        with pytest.raises(ValueError, match="visual loss"):
+            main(build_parser().parse_args(
+                ["--tasks", "train", "--epochs", "1"] + common))
+
         args = build_parser().parse_args(
-            ["--tasks", "train", "--epochs", "1"] + common)
+            ["--tasks", "train", "--epochs", "1", "--allow-missing-vgg"]
+            + common)
         main(args)
         weights_dir = args.weights  # suffixed by makedirs
         files = os.listdir(weights_dir)
