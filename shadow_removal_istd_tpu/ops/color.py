@@ -15,12 +15,16 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# sRGB (linear) -> XYZ, D65 white point. Same constants as skimage
-# (colorconv.xyz_from_rgb) and IEC 61966-2-1.
+# sRGB (linear) -> XYZ, D65 white point. skimage defines rgb_from_xyz
+# (the 3.2404542... matrix) and inverts it at float64
+# (colorconv.xyz_from_rgb = inv(rgb_from_xyz)) — these are that inverse
+# to full float32 precision, NOT the older rounded 0.412453... matrix
+# (which differs by ~0.004 LAB units).
 _XYZ_FROM_RGB = jnp.array(
-    [[0.412453, 0.357580, 0.180423],
-     [0.212671, 0.715160, 0.072169],
-     [0.019334, 0.119193, 0.950227]], dtype=jnp.float32)
+    [[0.412456432268236, 0.357576076280027, 0.180437480294450],
+     [0.212672846318362, 0.715152167154881, 0.072174999573213],
+     [0.019333904103299, 0.119192028243221, 0.950304073677404]],
+    dtype=jnp.float32)
 
 # D65 reference white (skimage "D65", 2-degree observer).
 _WHITE_D65 = jnp.array([0.95047, 1.0, 1.08883], dtype=jnp.float32)
