@@ -76,8 +76,21 @@ def build():
     return scanned, v1, v2, xs
 
 
+# v5e (TPU v5 lite) single-chip bf16 peak, for the MFU report.
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
 def main():
     scanned, v1, v2, xs = build()
+    # Analytic MXU FLOPs from the jaxpr — XLA's compiled cost_analysis
+    # under-reports conv FLOPs on the TPU backend (fused custom calls).
+    flops_per_call = None
+    try:
+        from shadow_removal_istd_tpu.utils.flops import count_flops
+
+        flops_per_call = count_flops(scanned, v1, v2, xs)
+    except Exception:
+        pass
     for _ in range(WARMUP):
         float(scanned(v1, v2, xs))  # host readback = hard sync
 
@@ -87,12 +100,20 @@ def main():
     dt = time.perf_counter() - t0
 
     ips = ITERS * STEPS * BATCH / dt
-    print(json.dumps({
+    out = {
         "metric": "stacked G1+G2 inference images/sec @256x256 (bf16)",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / ESTIMATED_REFERENCE_GPU_IPS, 3),
-    }))
+    }
+    if flops_per_call:
+        tflops = flops_per_call * ITERS / dt / 1e12
+        out["gflop_per_image"] = round(
+            flops_per_call / (STEPS * BATCH) / 1e9, 2)
+        out["achieved_tflops"] = round(tflops, 2)
+        out["mfu_vs_v5e_bf16_peak"] = round(
+            tflops / V5E_BF16_PEAK_TFLOPS, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

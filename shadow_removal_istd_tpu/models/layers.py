@@ -178,26 +178,86 @@ class ActNorm(nn.Module):
         return BatchNorm(dtype=self.dtype)(x, train)
 
 
+def _subpixel_nn_conv(x, w, dtype=None):
+    """nearest-2x upsample + 3x3 reflect-pad conv, computed WITHOUT
+    materializing the upsampled tensor.
+
+    On the 2x-NN-upsampled canvas, every 3x3 window only touches a 2x2
+    neighbourhood of ORIGINAL pixels (with tap multiplicities set by the
+    output's row/column parity), so the op decomposes exactly into ONE
+    2x2 conv producing 4*Cout phase channels on the low-res input,
+    followed by depth-to-space. 2.25x fewer MXU FLOPs and no 4x
+    activation blow-up; bit-equivalent up to fp re-association. The
+    reflect-pad of the upsampled canvas (up[-1]=up[1]=x[0]) reduces to
+    an EDGE pad of the low-res input.
+    """
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    compute_dtype = dtype or x.dtype
+    w = w.astype(compute_dtype)
+    # row-parity combine: even rows tap (x[i-1], x[i]) with (w0, w1+w2);
+    # odd rows tap (x[i], x[i+1]) with (w0+w1, w2)
+    we_r = jnp.stack([w[0], w[1] + w[2]], axis=0)          # (2,3,ci,co)
+    wo_r = jnp.stack([w[0] + w[1], w[2]], axis=0)
+
+    def _col(wr):
+        return (jnp.stack([wr[:, 0], wr[:, 1] + wr[:, 2]], axis=1),
+                jnp.stack([wr[:, 0] + wr[:, 1], wr[:, 2]], axis=1))
+
+    wee, weo = _col(we_r)
+    woe, woo = _col(wo_r)
+    kernel = jnp.concatenate([wee, weo, woe, woo], axis=-1)  # (2,2,ci,4co)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xp.astype(compute_dtype), kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (n, h+1, w+1, 4co)
+    yee = y[:, :h, :wd, 0 * cout:1 * cout]
+    yeo = y[:, :h, 1:, 1 * cout:2 * cout]
+    yoe = y[:, 1:, :wd, 2 * cout:3 * cout]
+    yoo = y[:, 1:, 1:, 3 * cout:4 * cout]
+    rows0 = jnp.stack([yee, yeo], axis=3)                  # (n,h,w,2,co)
+    rows1 = jnp.stack([yoe, yoo], axis=3)
+    out = jnp.stack([rows0, rows1], axis=2)                # (n,h,2,w,2,co)
+    return out.reshape(n, 2 * h, 2 * wd, cout)
+
+
 class Upsample(nn.Module):
     """2x upsampling: nearest+3x3 reflect conv (no_conv_t=True, the
     anti-checkerboard choice, reference src/main.py:282-288) or
-    ConvTranspose(4, stride 2, pad 1)."""
+    ConvTranspose(4, stride 2, pad 1).
+
+    The nearest+conv path runs as a subpixel-decomposed conv by default
+    (see ``_subpixel_nn_conv``) — same math, same parameters at the same
+    tree paths, 2.25x fewer FLOPs; ``subpixel=False`` keeps the naive
+    materialized form.
+    """
 
     features: int
     no_conv_t: bool = True
     use_bias: bool = False
     kernel_init: Callable = nn.initializers.lecun_normal()
     dtype: Any = None
+    subpixel: bool = True
 
     @nn.compact
     def __call__(self, x):
         if self.no_conv_t:
-            n, h, w, c = x.shape
-            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-            return ConvReflect(self.features, (3, 3), (1, 1), padding=1,
+            conv = ConvReflect(self.features, (3, 3), (1, 1), padding=1,
                                use_bias=self.use_bias,
                                kernel_init=self.kernel_init,
-                               dtype=self.dtype)(x)
+                               dtype=self.dtype)
+            if not self.subpixel:
+                return conv(upsample_nearest(x, 2))
+            # Materialize the conv's params at their usual tree path by
+            # tracing it on a tiny dummy; XLA dead-code-eliminates the
+            # unused call, and checkpoints/bridge layouts stay stable.
+            _ = conv(jnp.zeros((1, 2, 2, x.shape[-1]), x.dtype))
+            w = conv.variables["params"]["Conv_0"]["kernel"]
+            out = _subpixel_nn_conv(x, w, dtype=self.dtype)
+            if self.use_bias:
+                out = out + conv.variables["params"]["Conv_0"]["bias"]
+            return out
         # 'SAME' reproduces torch ConvTranspose2d(4, stride=2, padding=1)
         # geometry: out = 2*in with one row/col cropped from each side.
         return nn.ConvTranspose(self.features, (4, 4), (2, 2),

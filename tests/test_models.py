@@ -175,3 +175,41 @@ class TestTorchReferenceParity:
         ours = get_generator("mnet", in_channels=3, out_channels=1, ngf=32,
                              no_conv_t=True, activation="tanh")
         assert param_count(ours, (1, 64, 64, 3)) == ref_n
+
+
+class TestSubpixelUpsample:
+    """The subpixel-decomposed NN-upsample+conv (models/layers.py
+    _subpixel_nn_conv) is bit-equivalent to the naive materialized form."""
+
+    def test_matches_naive_path(self):
+        from shadow_removal_istd_tpu.models.layers import Upsample
+        rng = np.random.default_rng(0)
+        for (h, w, cin, cout, bias) in [(8, 8, 6, 5, False),
+                                        (5, 7, 3, 4, True),
+                                        (1, 1, 2, 2, False)]:
+            x = jnp.asarray(rng.normal(size=(2, h, w, cin))
+                            .astype(np.float32))
+            fast = Upsample(cout, no_conv_t=True, use_bias=bias,
+                            subpixel=True)
+            slow = Upsample(cout, no_conv_t=True, use_bias=bias,
+                            subpixel=False)
+            v = slow.init(KEY, x)
+            v = jax.tree.map(
+                lambda a: jnp.asarray(rng.normal(size=a.shape), a.dtype), v)
+            with jax.default_matmul_precision("highest"):
+                yf = fast.apply(v, x)
+                ys = slow.apply(v, x)
+            assert yf.shape == ys.shape == (2, 2 * h, 2 * w, cout)
+            np.testing.assert_allclose(np.asarray(yf), np.asarray(ys),
+                                       atol=2e-5)
+
+    def test_param_tree_unchanged(self):
+        # same param names/shapes either way: checkpoints + torch bridge
+        from shadow_removal_istd_tpu.models.layers import Upsample
+        x = jnp.zeros((1, 4, 4, 3))
+        vf = jax.eval_shape(
+            lambda: Upsample(8, no_conv_t=True, subpixel=True).init(KEY, x))
+        vs = jax.eval_shape(
+            lambda: Upsample(8, no_conv_t=True, subpixel=False).init(KEY, x))
+        assert jax.tree_util.tree_structure(vf) == \
+            jax.tree_util.tree_structure(vs)
