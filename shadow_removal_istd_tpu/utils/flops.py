@@ -44,6 +44,12 @@ def _conv_flops(eqn) -> float:
     rhs_spec = dn.rhs_spec  # (out_feat, in_feat, *spatial)
     k_elems = math.prod(rhs.shape[i] for i in rhs_spec[1:])  # Cin * prod(K)
     out_elems = math.prod(out.shape)
+    # input dilation (transposed convs / conv input-grads) interleaves
+    # zeros into the lhs: only ~1/prod(lhs_dilation) of the taps touch
+    # real data, and TPU XLA exploits that (measured: conv_transpose
+    # matches an explicit phase decomposition) — count useful FLOPs.
+    lhs_dilation = eqn.params.get("lhs_dilation") or ()
+    k_elems /= max(math.prod(lhs_dilation), 1)
     return 2.0 * out_elems * k_elems / max(groups, 1)
 
 

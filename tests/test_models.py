@@ -213,3 +213,43 @@ class TestSubpixelUpsample:
             lambda: Upsample(8, no_conv_t=True, subpixel=False).init(KEY, x))
         assert jax.tree_util.tree_structure(vf) == \
             jax.tree_util.tree_structure(vs)
+
+
+class TestFlopCounter:
+    """utils/flops.py analytic MXU FLOP counts on known shapes."""
+
+    def test_dot_and_conv(self):
+        from shadow_removal_istd_tpu.utils.flops import count_flops
+
+        a = jnp.zeros((4, 8), jnp.float32)
+        b = jnp.zeros((8, 16), jnp.float32)
+        assert count_flops(jnp.matmul, a, b) == 2 * 4 * 8 * 16
+
+        x = jnp.zeros((2, 10, 10, 3), jnp.float32)
+        k = jnp.zeros((3, 3, 3, 7), jnp.float32)
+        conv = lambda x, k: jax.lax.conv_general_dilated(  # noqa: E731
+            x, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        assert count_flops(conv, x, k) == 2 * (2 * 10 * 10 * 7) * (3 * 3 * 3)
+
+    def test_scan_multiplies_and_dilation_discounts(self):
+        from shadow_removal_istd_tpu.utils.flops import count_flops
+
+        a = jnp.zeros((4, 8), jnp.float32)
+        b = jnp.zeros((8, 16), jnp.float32)
+
+        def scanned(a, b):
+            def body(c, _):
+                return c + a @ b, None
+            out, _ = jax.lax.scan(body, jnp.zeros((4, 16)), None, length=5)
+            return out
+        assert count_flops(scanned, a, b) == 5 * 2 * 4 * 8 * 16
+
+        # transposed conv: only 1/prod(lhs_dilation) of taps are useful
+        x = jnp.zeros((1, 8, 8, 4), jnp.float32)
+        k = jnp.zeros((4, 4, 4, 6), jnp.float32)
+        tconv = lambda x, k: jax.lax.conv_transpose(  # noqa: E731
+            x, k, (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = count_flops(tconv, x, k)
+        assert got == 2 * (1 * 16 * 16 * 6) * (4 * 4 * 4) / 4
