@@ -166,3 +166,31 @@ def test_train_mode_and_running_stats():
     for a, b in zip(jax.tree.leaves(upd["batch_stats"]),
                     jax.tree.leaves(v_after["batch_stats"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_load_torch_checkpoint_file(tmp_path):
+    """The public .pt entry point: save a reference state_dict, load it
+    into the flax model, outputs match (the user migration path)."""
+    from shadow_removal_istd_tpu.tools.torch_bridge import (
+        load_torch_checkpoint,
+    )
+
+    tm = _init_torch(rn.get_generator(
+        "mnet", in_channels=3, out_channels=1, ngf=8, drop_rate=0.0,
+        no_conv_t=True, use_selu=False, activation="tanh"))
+    path = tmp_path / "G1.pt"
+    torch.save(tm.state_dict(), str(path))
+
+    fm = get_generator("mnet", in_channels=3, out_channels=1, ngf=8,
+                       no_conv_t=True, activation="tanh")
+    x = _x((1, 32, 32, 3))
+    fresh = rn.get_generator("mnet", in_channels=3, out_channels=1, ngf=8,
+                             drop_rate=0.0, no_conv_t=True, use_selu=False,
+                             activation="tanh")
+    v = load_torch_checkpoint(str(path), fresh, fm, x)
+    tm.eval()
+    with torch.no_grad():
+        ty = tm(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    with jax.default_matmul_precision("highest"):
+        fy = fm.apply(v, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(fy), ty.numpy(), atol=ATOL)
