@@ -140,6 +140,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax.profiler trace of one "
                              "training epoch into this directory")
+    parser.add_argument("--spatial-shard", type=int, default=1,
+                        help="shard image H rows over this many devices "
+                             "(spatial partitioning with GSPMD halo "
+                             "exchange; scales full-resolution inference "
+                             "latency, combines with data parallelism)")
     return parser
 
 
@@ -206,15 +211,18 @@ def set_logger(log_file: str) -> None:
     setup_logging(log_file)
 
 
-def _select_mesh(devices: list[str], batch_size: int):
+def _select_mesh(devices: list[str], batch_size: int,
+                 spatial_shard: int = 1):
     """Map --devices onto a JAX mesh (None = single default device).
 
     Accepts a device count ("8") or a platform name ("tpu"/"cpu"); the
-    mesh size is capped to the largest divisor of the global batch size
-    so every device gets an equal shard.
+    data-axis size is capped to the largest divisor of the global batch
+    size so every device gets an equal shard. ``spatial_shard > 1``
+    builds a 2-D (data x spatial) mesh whose spatial axis shards image
+    H rows (GSPMD conv halo exchange over ICI).
     """
     import jax
-    from shadow_removal_istd_tpu.parallel.mesh import make_mesh
+    from shadow_removal_istd_tpu.parallel.mesh import make_mesh, make_mesh_2d
 
     avail = jax.devices()
     if devices and devices[0].isdigit():
@@ -228,9 +236,17 @@ def _select_mesh(devices: list[str], batch_size: int):
         want = len(avail)
     else:
         want = len(avail)
-    n = min(want, len(avail), batch_size)
+    want = min(want, len(avail))
+    sp = max(1, spatial_shard)
+    if sp > want:
+        logger.warning("--spatial-shard %d > %d available devices; "
+                       "capping", sp, want)
+        sp = want
+    n = min(want // sp, batch_size)
     while n > 1 and batch_size % n != 0:
         n -= 1
+    if sp > 1:
+        return make_mesh_2d(max(n, 1), sp, avail)
     if n > 1:
         return make_mesh(avail[:n])
     return None
@@ -290,8 +306,14 @@ def main(args) -> None:
         profile_dir=args.profile_dir,
     )
 
+    if args.spatial_shard > 1 and "train" in args.tasks:
+        logger.warning(
+            "--spatial-shard accelerates forward-only work (validation/"
+            "inference); training batches shard on the data axis only "
+            "(see parallel.mesh.train_batch_sharding)")
     trainer = Trainer(cfg, run,
-                      mesh=_select_mesh(args.devices, args.batch_size))
+                      mesh=_select_mesh(args.devices, args.batch_size,
+                                        args.spatial_shard))
     trainer.load_weights(g1=args.load_weights_g1, g2=args.load_weights_g2,
                          d1=args.load_weights_d1, d2=args.load_weights_d2)
     if args.load_checkpoint is not None:

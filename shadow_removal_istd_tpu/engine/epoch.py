@@ -23,21 +23,38 @@ from shadow_removal_istd_tpu.ops.augment import AugmentConfig, augment_batch
 
 
 def make_scanned_epoch(models: Models, cfg: TrainConfig, vgg_vars=None,
-                       unroll: int = 1):
+                       unroll: int = 1, mesh=None):
     """Build ``epoch_fn(state, arrays, idx_matrix, rng, scale_g,
     scale_d) -> (state, summed_metrics)``.
 
     ``arrays``: tuple of device-resident (N, H, W, C) uint8 streams in
     sorted-stream order; ``idx_matrix``: (steps, batch) int32 shuffled
     indices (see DeviceDatasetCache.epoch_indices).
+
+    ``mesh``: when given, each scanned batch is sharding-constrained
+    onto it (batch rows over the "data" axis; training never shards the
+    spatial axis — see parallel.mesh.train_batch_sharding). The dataset
+    cache is replicated, so without the constraint GSPMD would keep the
+    whole epoch replicated — every device redundantly computing the
+    full batch instead of splitting it.
     """
     from shadow_removal_istd_tpu.engine.steps import _unjitted_train_step
+
+    from shadow_removal_istd_tpu.ops.pallas_shear import should_interpret
 
     aug_cfg = AugmentConfig(
         scale=cfg.aug_scale, angle=cfg.aug_angle, flip_prob=0.5,
         crop_size=cfg.image_size, resize=cfg.aug_resize,
-        method=cfg.aug_method)
+        method=cfg.aug_method,
+        pallas_interpret=should_interpret(
+            mesh.devices.flat if mesh is not None else None))
     step_fn = _unjitted_train_step(models, cfg, vgg_vars)
+    batch_sharding = None
+    if mesh is not None:
+        from shadow_removal_istd_tpu.parallel.mesh import (
+            train_batch_sharding,
+        )
+        batch_sharding = train_batch_sharding(mesh)
 
     def epoch_fn(state: TrainState, arrays, idx_matrix, rng,
                  scale_g=1.0, scale_d=1.0):
@@ -48,6 +65,9 @@ def make_scanned_epoch(models: Models, cfg: TrainConfig, vgg_vars=None,
             k_aug, k_step = jax.random.split(k)
             raw = tuple(jnp.take(a, idx, axis=0) for a in arrays)
             batch = augment_batch(k_aug, raw, aug_cfg)
+            if batch_sharding is not None:
+                batch = jax.lax.with_sharding_constraint(
+                    batch, batch_sharding)
             state, metrics = step_fn(state, batch, k_step,
                                      scale_g, scale_d)
             return state, metrics

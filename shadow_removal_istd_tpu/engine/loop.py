@@ -49,7 +49,7 @@ from shadow_removal_istd_tpu.ops.augment import (
     float_to_uint8,
     normalize_batch,
 )
-from shadow_removal_istd_tpu.parallel.mesh import shard_batch, shard_state
+from shadow_removal_istd_tpu.parallel.mesh import shard_state
 from shadow_removal_istd_tpu.utils.image_io import imwrite
 
 logger = logging.getLogger(__name__)
@@ -179,10 +179,15 @@ class Trainer:
         self.eval_step = make_eval_step(self.models, self.cfg, vgg_vars,
                                         return_preds=True)
         self.infer_step = make_infer_step(self.models)
+        from shadow_removal_istd_tpu.ops.pallas_shear import (
+            should_interpret,
+        )
         self.aug_cfg = AugmentConfig(
             scale=self.cfg.aug_scale, angle=self.cfg.aug_angle,
             flip_prob=0.5, crop_size=self.cfg.image_size,
-            resize=self.cfg.aug_resize, method=self.cfg.aug_method)
+            resize=self.cfg.aug_resize, method=self.cfg.aug_method,
+            pallas_interpret=should_interpret(
+                mesh.devices.flat if mesh is not None else None))
         self._augment = jax.jit(
             lambda k, s: augment_batch(k, s, self.aug_cfg))
 
@@ -215,7 +220,7 @@ class Trainer:
                 sharding = replicated_sharding(mesh)
             self._cache = DeviceDatasetCache(train_streams, sharding)
             self.epoch_fn = make_scanned_epoch(self.models, self.cfg,
-                                               vgg_vars)
+                                               vgg_vars, mesh=mesh)
 
         self.start_epoch = 0
         self.best_loss = float("inf")
@@ -258,11 +263,26 @@ class Trainer:
                 os.path.join(self.run.logs_dir, which))
         return self._writers[which]
 
-    def _place(self, batch):
+    def _place(self, batch, train: bool = False):
         if self.mesh is not None:
+            from shadow_removal_istd_tpu.parallel.mesh import (
+                DATA_AXIS,
+                image_sharding,
+                train_batch_sharding,
+            )
             n = batch[0].shape[0]
-            if n % self.mesh.devices.size == 0:
-                return shard_batch(self.mesh, batch)
+            if n % self.mesh.shape.get(DATA_AXIS, 1) == 0:
+                # batch over "data". Forward-only batches (valid/infer)
+                # additionally shard image H rows over the "spatial"
+                # axis when the mesh has one (GSPMD conv halo exchange)
+                # — the latency-scaling axis for full-resolution
+                # inference. Training batches stay data-only: see
+                # train_batch_sharding's docstring (Shardy backward
+                # miscompilation guard).
+                sharding = (train_batch_sharding(self.mesh) if train
+                            else image_sharding(self.mesh))
+                return jax.tree.map(
+                    lambda a: jax.device_put(a, sharding), batch)
             # ragged final validation batch: single-device fallback
         return jax.tree.map(jnp.asarray, batch)
 
@@ -314,7 +334,7 @@ class Trainer:
         scale_d = self.plateau_d.scale if self.plateau_d else 1.0
         for raw in self.train_pipe.epoch():
             self.rng, k_aug, k_step = jax.random.split(self.rng, 3)
-            batch = self._augment(k_aug, self._place(raw))
+            batch = self._augment(k_aug, self._place(raw, train=True))
             self.state, metrics = self.train_step(
                 self.state, batch, k_step, scale_g, scale_d)
             if need_sums:

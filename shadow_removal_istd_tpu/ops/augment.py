@@ -59,6 +59,13 @@ class AugmentConfig:
     #           training path (dynamic slices instead of gathers; the
     #           interpolation footprint differs slightly from cv2).
     method: str = "gather"
+    # Run the Pallas kernel in interpreter mode. Set when the target
+    # devices are NOT TPUs even though the default backend is one (e.g.
+    # a CPU mesh selected via --devices cpu under a TPU-default
+    # process): Mosaic only compiles for TPU, and the in-kernel
+    # default_backend() check can't see where a jitted caller will
+    # place the computation. See pallas_shear.should_interpret.
+    pallas_interpret: bool = False
 
 
 def sample_augment_params(key: jax.Array, batch: int,
@@ -134,7 +141,8 @@ def augment_batch(key: jax.Array, streams: tuple[jnp.ndarray, ...],
             fused_augment_shear,
         )
         warped = fused_augment_shear(stacked, params, cfg.crop_size,
-                                     max_angle_deg=cfg.angle)
+                                     max_angle_deg=cfg.angle,
+                                     interpret=cfg.pallas_interpret)
     else:
         warped = jax.vmap(
             _augment_one, in_axes=(0, 0, 0, 0, 0, 0, None)

@@ -30,6 +30,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def should_interpret(devices=None) -> bool:
+    """True when the Pallas kernel must run in interpreter mode.
+
+    Mosaic kernels only compile for TPU. ``devices``: where the caller
+    will place the computation (e.g. ``mesh.devices.flat``); when None,
+    falls back to the process default backend. A jitted caller placing
+    work on a CPU mesh under a TPU-default process must pass its
+    devices — the in-kernel backend check cannot see jit placement.
+    """
+    if devices is not None:
+        return any(d.platform != "tpu" for d in devices)
+    return jax.default_backend() != "tpu"
+
+
 def _shear_kernel(kint_ref, frac_ref, img_ref, out_ref):
     """ROW_BLOCK output rows: out[r] = lerp(img[r, k:k+W], k+1 row, f).
 

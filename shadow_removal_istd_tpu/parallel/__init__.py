@@ -11,10 +11,14 @@ Multi-host pods initialize via ``jax.distributed`` (DCN between hosts).
 from shadow_removal_istd_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     distributed_init,
+    image_sharding,
     make_mesh,
+    make_mesh_2d,
     replicated_sharding,
     shard_batch,
+    shard_images,
     shard_state,
+    train_batch_sharding,
 )
 from shadow_removal_istd_tpu.parallel.prefetch import (  # noqa: F401
     prefetch_to_device,

@@ -60,3 +60,71 @@ def shard_state(mesh: Mesh, state):
     """Replicate a state pytree across the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+
+
+# --------------------------------------------------------------------------
+# Spatial partitioning (SP) — shard the image height across chips.
+#
+# The model family is fully convolutional (no attention, no sequence dim;
+# SURVEY §5), so beyond batch data-parallelism the natural second mesh
+# axis is *spatial*: split each image's H rows across devices and let
+# XLA's SPMD partitioner insert the conv halo exchanges over ICI. This
+# serves the latency-bound regime the reference cannot reach at all —
+# a single full-resolution (480x640) image accelerated by N chips —
+# where DP only helps throughput. Parameters stay replicated (they are
+# ~12M/net; the activations at 480x640 dominate HBM).
+# --------------------------------------------------------------------------
+
+SPATIAL_AXIS = "spatial"
+
+
+def make_mesh_2d(n_data: int, n_spatial: int,
+                 devices: Sequence[Any] | None = None,
+                 axes: tuple[str, str] = (DATA_AXIS, SPATIAL_AXIS)) -> Mesh:
+    """2-D (data x spatial) mesh over the first ``n_data*n_spatial``
+    devices. The spatial axis should map to the innermost (ICI-nearest)
+    devices: halo exchanges are latency-sensitive, gradient psums are not.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = n_data * n_spatial
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.array(devices[:n]).reshape(n_data, n_spatial)
+    return Mesh(arr, axes)
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for NHWC image batches: batch over the data axis (when
+    present in the mesh), H rows over the spatial axis (when present).
+
+    Use for FORWARD-ONLY work (inference, validation). For training
+    batches use :func:`train_batch_sharding` — see its docstring.
+    """
+    batch_axis = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+    h_axis = SPATIAL_AXIS if SPATIAL_AXIS in mesh.axis_names else None
+    return NamedSharding(mesh, P(batch_axis, h_axis))
+
+
+def train_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for TRAINING batches: batch dim over the data axis only.
+
+    The spatial axis is deliberately NOT used for training. XLA's
+    Shardy partitioner (the default in jax 0.9) miscompiles the
+    BACKWARD pass of train-mode conv+BatchNorm stacks when the image H
+    dim is sharded: parameter gradients come back overcounted by exact
+    integer factors (2x/4x, verified empirically on an 8-device CPU
+    mesh — forward values and forward-only eval/infer are correct, and
+    the legacy GSPMD partitioner computes the same gradients correctly).
+    Until upstream is fixed, spatial partitioning is a forward-only
+    feature; the guard is regression-tested in
+    tests/test_parallel.py::TestSpatialPartitioning.
+    """
+    batch_axis = DATA_AXIS if DATA_AXIS in mesh.axis_names else None
+    return NamedSharding(mesh, P(batch_axis))
+
+
+def shard_images(mesh: Mesh, batch):
+    """Place a pytree of NHWC host arrays onto the mesh, batch- and
+    (if the mesh has a spatial axis) row-sharded."""
+    sharding = image_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)

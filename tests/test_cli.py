@@ -57,6 +57,21 @@ class TestFlagSurface:
         assert str2bool("yes") and str2bool("True") and str2bool("1")
         assert not str2bool("no") and not str2bool("0")
 
+    def test_select_mesh_spatial(self):
+        from shadow_removal_istd_tpu.cli.main import _select_mesh
+
+        mesh = _select_mesh(["8"], batch_size=16, spatial_shard=4)
+        assert mesh.shape == {"data": 2, "spatial": 4}
+        # spatial-only: batch too small for a data axis
+        mesh = _select_mesh(["8"], batch_size=1, spatial_shard=8)
+        assert mesh.shape == {"data": 1, "spatial": 8}
+        # capped to available devices
+        mesh = _select_mesh(["8"], batch_size=4, spatial_shard=99)
+        assert mesh.shape["spatial"] == 8
+        # default stays the 1-D data mesh
+        mesh = _select_mesh(["8"], batch_size=16)
+        assert dict(mesh.shape) == {"data": 8}
+
     def test_rundir_naming(self, tmp_path):
         # run-dir names encode lr / D-type / D-loss (src/main.py:100-113)
         args = build_parser().parse_args(

@@ -70,6 +70,43 @@ class TestScannedEpoch:
         # each epoch covers distinct samples (permutation property)
         assert len(np.unique(i1)) == i1.size
 
+    def test_epoch_on_mesh_shards_batch_and_matches(self):
+        """The mesh-constrained fused epoch must (a) actually shard the
+        per-step batch across the data axis — without the constraint a
+        replicated cache keeps the whole epoch replicated — and (b)
+        reproduce the single-device epoch numerically."""
+        from shadow_removal_istd_tpu.parallel import (
+            make_mesh,
+            replicated_sharding,
+            shard_state,
+        )
+
+        cfg, models, state, _ = _setup(n=16, batch=8)
+        data = synthetic_triplets(16, 48, 64, seed=0)
+        streams = {k: data[k] for k in ("img", "matte", "target")}
+
+        epoch_single = make_scanned_epoch(models, cfg)
+        cache_s = DeviceDatasetCache(streams)
+        idx = cache_s.epoch_indices(jax.random.key(1), cfg.batch_size)
+        s_single, sums_single = epoch_single(
+            state, cache_s._arrays, idx, jax.random.key(2), 1.0, 1.0)
+
+        mesh = make_mesh()
+        state_m = shard_state(
+            mesh, init_state(jax.random.key(0), cfg, models))
+        cache_m = DeviceDatasetCache(streams, replicated_sharding(mesh))
+        epoch_mesh = make_scanned_epoch(models, cfg, mesh=mesh)
+        s_mesh, sums_mesh = epoch_mesh(
+            state_m, cache_m._arrays,
+            jax.device_put(idx, replicated_sharding(mesh)),
+            jax.random.key(2), 1.0, 1.0)
+
+        assert int(s_mesh.step) == int(s_single.step) == 2
+        np.testing.assert_allclose(float(sums_mesh["G"]),
+                                   float(sums_single["G"]), rtol=2e-4)
+        np.testing.assert_allclose(float(sums_mesh["D"]),
+                                   float(sums_single["D"]), rtol=2e-4)
+
     def test_trainer_fused_matches_interface(self, tmp_path):
         from shadow_removal_istd_tpu.engine import RunConfig, Trainer
         # 64x64: MNet validates at native resolution, which must be

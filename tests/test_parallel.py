@@ -97,6 +97,103 @@ class TestDataParallelStep:
         assert np.isfinite(float(metrics["G"]))
 
 
+class TestSpatialPartitioning:
+    """Spatial partitioning: shard the image H rows across the mesh and
+    let GSPMD insert the conv halo exchanges. Must reproduce the
+    single-device forward exactly (up to float tolerance) — this is the
+    latency-scaling axis for full-resolution serving that the
+    reference's DataParallel cannot express at all."""
+
+    def _setup(self):
+        from shadow_removal_istd_tpu.engine import make_infer_step
+
+        cfg = _cfg()
+        models = build_models(cfg)
+        state = init_state(jax.random.key(0), cfg, models)
+        infer = make_infer_step(models)
+        x = _batch(2)[0]  # (2, 32, 32, 3)
+        m_ref, y_ref = infer(state.g_params, state.batch_stats, x)
+        return state, infer, x, np.asarray(m_ref), np.asarray(y_ref)
+
+    def test_spatial_only_mesh_matches_single_device(self):
+        from shadow_removal_istd_tpu.parallel import (
+            image_sharding,
+            make_mesh_2d,
+            shard_images,
+            shard_state,
+        )
+
+        state, infer, x, m_ref, y_ref = self._setup()
+        mesh = make_mesh_2d(1, 8)
+        from jax.sharding import PartitionSpec as P
+        assert image_sharding(mesh).spec == P("data", "spatial")
+        st = shard_state(mesh, state)
+        xs = shard_images(mesh, x)
+        # each device holds the full batch x a 4-row slab
+        shard_shapes = {s.data.shape for s in xs.addressable_shards}
+        assert shard_shapes == {(2, 4, SIZE, 3)}
+        m_sp, y_sp = infer(st.g_params, st.batch_stats, xs)
+        np.testing.assert_allclose(np.asarray(m_sp), m_ref, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(y_sp), y_ref, atol=2e-5)
+
+    def test_data_by_spatial_mesh_matches_single_device(self):
+        from shadow_removal_istd_tpu.parallel import (
+            make_mesh_2d,
+            shard_images,
+            shard_state,
+        )
+
+        state, infer, x, m_ref, y_ref = self._setup()
+        mesh = make_mesh_2d(2, 4)
+        st = shard_state(mesh, state)
+        xs = shard_images(mesh, x)
+        shard_shapes = {s.data.shape for s in xs.addressable_shards}
+        assert shard_shapes == {(1, 8, SIZE, 3)}
+        m_sp, y_sp = infer(st.g_params, st.batch_stats, xs)
+        np.testing.assert_allclose(np.asarray(m_sp), m_ref, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(y_sp), y_ref, atol=2e-5)
+
+    def test_train_step_on_data_by_spatial_mesh(self):
+        # DP semantics are unchanged when the mesh gains a spatial axis:
+        # TRAINING batches shard on "data" only (train_batch_sharding).
+        # H must NOT shard during training: XLA's Shardy partitioner
+        # (jax 0.9 default) miscompiles the backward of train-mode
+        # conv+BN stacks under a sharded H dim — parameter gradients
+        # come back overcounted by exact integer factors (2x/4x,
+        # reproduced on this mesh; forward-only eval/infer is correct,
+        # as the tests above verify). train_batch_sharding encodes the
+        # guard; this test pins the guarded semantics.
+        from shadow_removal_istd_tpu.parallel import (
+            make_mesh_2d,
+            shard_state,
+            train_batch_sharding,
+        )
+
+        cfg = _cfg()
+        models = build_models(cfg)
+        state0 = init_state(jax.random.key(0), cfg, models)
+        batch = _batch()
+        rng = jax.random.key(42)
+        step = make_train_step(models, cfg)
+        s_single, m_single = step(state0, batch, rng)
+
+        mesh = make_mesh_2d(2, 4)
+        sharding = train_batch_sharding(mesh)
+        from jax.sharding import PartitionSpec as P
+        assert sharding.spec == P("data")  # never P("data", "spatial")
+        state_sp = shard_state(mesh, init_state(jax.random.key(0), cfg,
+                                                models))
+        batch_sp = jax.tree.map(lambda a: jax.device_put(a, sharding),
+                                batch)
+        s_sp, m_sp = step(state_sp, batch_sp, rng)
+        assert float(m_single["G"]) == pytest.approx(float(m_sp["G"]),
+                                                     rel=2e-4)
+        for a, b in zip(jax.tree.leaves(s_single.g_params),
+                        jax.tree.leaves(s_sp.g_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+
+
 class TestPrefetch:
     def test_order_and_placement(self):
         mesh = make_mesh()
