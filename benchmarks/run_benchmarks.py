@@ -182,8 +182,12 @@ def bench_full_training():
         h5_dt = time.perf_counter() - t0
     _result("HDF5 bulk load (128 x 480x640 triplets)",
             128 / h5_dt, "images/sec")
-    cache = DeviceDatasetCache(streams)
-    epoch_fn = make_scanned_epoch(models, cfg)
+    if mesh is not None:
+        from shadow_removal_istd_tpu.parallel import replicated_sharding
+        cache = DeviceDatasetCache(streams, replicated_sharding(mesh))
+    else:
+        cache = DeviceDatasetCache(streams)
+    epoch_fn = make_scanned_epoch(models, cfg, mesh=mesh)
     idx = cache.epoch_indices(jax.random.key(1), cfg.batch_size)
     state, sums = epoch_fn(state, cache._arrays, idx, jax.random.key(2),
                            1.0, 1.0)

@@ -145,6 +145,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "(spatial partitioning with GSPMD halo "
                              "exchange; scales full-resolution inference "
                              "latency, combines with data parallelism)")
+    parser.add_argument("--export-stablehlo", default=None,
+                        help="after the tasks finish, serialize the "
+                             "stacked G1+G2 inference graph (params "
+                             "baked in, symbolic batch, tpu+cpu "
+                             "lowerings) to this path — a self-contained "
+                             "serving artifact loadable with jax alone")
+    parser.add_argument("--export-shape", type=int, nargs=2,
+                        default=[480, 640], metavar=("H", "W"),
+                        help="image H W for --export-stablehlo "
+                             "(ISTD native 480 640)")
     return parser
 
 
@@ -326,6 +336,15 @@ def main(args) -> None:
         trainer.train(args.epochs)
     if "infer" in args.tasks:
         trainer.infer()
+    if args.export_stablehlo:
+        from shadow_removal_istd_tpu.tools.export import (
+            export_stacked_inference,
+        )
+        nbytes = export_stacked_inference(
+            args.export_stablehlo, trainer.state, trainer.models,
+            image_shape=tuple(args.export_shape))
+        logger.info("serialized serving artifact: %s (%.1f MB)",
+                    args.export_stablehlo, nbytes / 1e6)
 
 
 if __name__ == "__main__":

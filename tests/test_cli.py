@@ -137,10 +137,20 @@ class TestEndToEnd:
         args2 = build_parser().parse_args(
             ["--tasks", "infer",
              "--load-checkpoint", os.path.join(weights_dir,
-                                               "checkpoint.msgpack")]
+                                               "checkpoint.msgpack"),
+             "--export-stablehlo", str(tmp_path / "model.shlo"),
+             "--export-shape", "32", "32"]
             + common)
         main(args2)
         out = os.path.join(str(tmp_path / "out"), "shadowless", "istd")
         assert len(os.listdir(out)) == 2
         matte0 = os.path.join(str(tmp_path / "out"), "matte", "istd")
         assert len(os.listdir(matte0)) == 2
+        # serving artifact: self-contained, loadable, runnable
+        from shadow_removal_istd_tpu.tools.export import load_exported
+        run = load_exported(str(tmp_path / "model.shlo"))
+        import numpy as np
+        import jax.numpy as jnp
+        m, y = run(jnp.zeros((1, 32, 32, 3), jnp.float32))
+        assert m.shape == (1, 32, 32, 1) and y.shape == (1, 32, 32, 3)
+        assert np.isfinite(np.asarray(y)).all()
