@@ -77,27 +77,31 @@ def hshear(img_chw: jnp.ndarray, shifts: jnp.ndarray,
            out_w: int, pad: int, interpret: bool = False) -> jnp.ndarray:
     """Batched horizontal fractional shear.
 
-    img_chw: (B, C, H, Wp) float32, pre-padded with ``pad`` zero columns
-    on each side. shifts: (B, H) float — the *source* x of output column
-    0 in unpadded coordinates (negative values reach into the left pad).
+    img_chw: (B, C, H, W) float32, UNPADDED. shifts: (B, H) float — the
+    *source* x of output column 0 in image coordinates (values in
+    [-pad, W + pad - out_w] reach into a zero border of ``pad`` columns,
+    applied here in one fused pad together with the lane-alignment
+    right-extension — one full-tensor copy per pass instead of two).
     Returns (B, C, H, out_w) where out[..., r, c] samples source column
     ``shifts[r] + c`` bilinearly.
     """
-    bsz, c, h, wp0 = img_chw.shape
+    bsz, c, h, w0 = img_chw.shape
     assert h % ROW_BLOCK == 0, f"H={h} must be a multiple of {ROW_BLOCK}"
     if not interpret and jax.default_backend() != "tpu":
         # Mosaic kernels only compile for TPU; run the interpreter on
         # CPU/GPU backends (slow but correct — tests, dry runs).
         interpret = True
+    wp0 = w0 + 2 * pad                      # zero-bordered frame width
     src = shifts + pad                      # position in the padded frame
     kint = jnp.clip(jnp.floor(src), 0, wp0 - out_w - 1).astype(jnp.int32)
     frac = (src - jnp.floor(src)).astype(jnp.float32)
 
-    # right-extend so every aligned window (k128, k128 + w_win) stays in
-    # bounds, and make the total width lane-aligned.
+    # single pad: zero border + right-extension so every aligned window
+    # (k128, k128 + w_win) stays in bounds at lane-aligned total width.
     w_win = _round_up(out_w + 2 * _LANE, _LANE)
     wp = _round_up(wp0 + w_win - out_w, _LANE)
-    img_chw = jnp.pad(img_chw, ((0, 0), (0, 0), (0, 0), (0, wp - wp0)))
+    img_chw = jnp.pad(img_chw,
+                      ((0, 0), (0, 0), (0, 0), (pad, wp - w0 - pad)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -174,15 +178,12 @@ def shear_rotate_crop(img_nhwc: jnp.ndarray, angle_deg: jnp.ndarray,
 
     x = jnp.transpose(img_nhwc, (0, 3, 1, 2))  # (B, C, H, W)
 
-    def pad_w(t, p):
-        return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (p, p)))
-
     # pass 1: x-shear onto the expanded canvas. Output column c holds
     # true x = c - margin; source x of out col 0 in row r is
     # s1(r) - margin with s1 = a * (r - cy).
     rows = jnp.arange(h, dtype=jnp.float32)
     s1 = a[:, None] * (rows[None, :] - cy) - margin   # (B, H)
-    x = hshear(pad_w(x, pad1), s1, wx, pad1, interpret)
+    x = hshear(x, s1, wx, pad1, interpret)
 
     # pass 2: y-shear as x-shear of the transpose; crop rows to the
     # requested window while we are in this orientation. Column index
@@ -191,7 +192,7 @@ def shear_rotate_crop(img_nhwc: jnp.ndarray, angle_deg: jnp.ndarray,
     cols = jnp.arange(wx, dtype=jnp.float32) - margin
     s2 = (b[:, None] * (cols[None, :] - cx)
           + row_off[:, None].astype(jnp.float32))     # (B, Wx)
-    x = hshear(pad_w(x, pad2), s2, crop, pad2, interpret)
+    x = hshear(x, s2, crop, pad2, interpret)
 
     # pass 3: final x-shear + column crop off the expanded canvas
     # (source position = true x + margin).
@@ -200,7 +201,7 @@ def shear_rotate_crop(img_nhwc: jnp.ndarray, angle_deg: jnp.ndarray,
     abs_rows = rows_c[None, :] + row_off[:, None].astype(jnp.float32)
     s3 = (a[:, None] * (abs_rows - cy)
           + col_off[:, None].astype(jnp.float32) + margin)  # (B, crop)
-    x = hshear(pad_w(x, pad3), s3, crop, pad3, interpret)
+    x = hshear(x, s3, crop, pad3, interpret)
 
     return jnp.transpose(x, (0, 2, 3, 1))            # (B, crop, crop, C)
 

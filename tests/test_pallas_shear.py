@@ -39,7 +39,7 @@ class TestHShear:
         padded = np.pad(img, ((0, 0), (0, 0), (0, 0), (pad, pad)))
         shifts = rng.uniform(-4, 4, (B, H)).astype(np.float32)
         out = np.asarray(pallas_shear.hshear(
-            jnp.asarray(padded), jnp.asarray(shifts), W, pad))
+            jnp.asarray(img), jnp.asarray(shifts), W, pad))
         ref = np.zeros_like(out)
         for b in range(B):
             for r in range(H):
@@ -54,9 +54,8 @@ class TestHShear:
         B, C, H, W = 1, 3, 8, 128
         img = rng.uniform(0, 1, (B, C, H, W)).astype(np.float32)
         pad = 8
-        padded = np.pad(img, ((0, 0), (0, 0), (0, 0), (pad, pad)))
         out = np.asarray(pallas_shear.hshear(
-            jnp.asarray(padded), jnp.zeros((B, H), np.float32), W, pad))
+            jnp.asarray(img), jnp.zeros((B, H), np.float32), W, pad))
         np.testing.assert_allclose(out, img, atol=1e-6)
 
 
