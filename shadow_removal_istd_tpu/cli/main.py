@@ -145,6 +145,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "(spatial partitioning with GSPMD halo "
                              "exchange; scales full-resolution inference "
                              "latency, combines with data parallelism)")
+    parser.add_argument("--preempt-save", type=str2bool, default=True,
+                        help="on SIGTERM (preemptible VM eviction "
+                             "notice), write the full checkpoint at the "
+                             "next epoch boundary and exit cleanly")
     parser.add_argument("--export-stablehlo", default=None,
                         help="after the tasks finish, serialize the "
                              "stacked G1+G2 inference graph (params "
@@ -314,6 +318,7 @@ def main(args) -> None:
         allow_missing_vgg=args.allow_missing_vgg, tasks=tuple(args.tasks),
         device_cache=args.device_cache,
         profile_dir=args.profile_dir,
+        preempt_save=args.preempt_save,
     )
 
     if args.spatial_shard > 1 and "train" in args.tasks:

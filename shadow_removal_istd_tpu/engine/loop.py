@@ -18,6 +18,7 @@ The runtime equivalent of the reference's ``CGAN`` engine
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 import time
@@ -84,6 +85,9 @@ class RunConfig:
     # jax.profiler trace directory (None = off); traces the first
     # post-warmup training epoch for TensorBoard/XProf
     profile_dir: str | None = None
+    # checkpoint + clean exit on SIGTERM at the next epoch boundary
+    # (preemptible TPU VMs deliver SIGTERM before eviction)
+    preempt_save: bool = True
 
 
 class Trainer:
@@ -289,35 +293,54 @@ class Trainer:
     # ----------------------------------------------------------- train
     def train(self, epochs: int):
         assert self.train_pipe is not None, "no training data"
-        logger.info("start training: %d epochs, %d steps/epoch",
-                    epochs, len(self.train_pipe))
+        from shadow_removal_istd_tpu.utils.preemption import (
+            PreemptionGuard,
+        )
         from shadow_removal_istd_tpu.utils.profiling import StepTimer, trace
         timer = StepTimer()
         t_start = time.time()
-        for epoch in range(self.start_epoch, epochs):
-            # profile the second epoch (first is compile-dominated)
-            profile_now = (self.run.profile_dir
-                           and epoch == self.start_epoch + 1)
-            with trace(self.run.profile_dir if profile_now else None):
-                self.run_train_epoch(
-                    epoch,
-                    log_scalars=epoch % self.run.log_every == 0,
-                    visualize=epoch % self.run.vis_every == 0)
-            timer.update(len(self.train_pipe) * self.cfg.batch_size)
-            if epoch % self.run.log_every == 0:
-                self._writer("train").add_scalar(
-                    "perf/images_per_sec", timer.rate(), epoch)
-                timer.reset()
-            if epoch % self.run.valid_every == 0 and self.valid_pipe:
-                total = self.run_valid_epoch(epoch)
-                if total < self.best_loss:
-                    self.best_loss = total
+        guard = PreemptionGuard() if self.run.preempt_save else None
+        with guard or contextlib.nullcontext():
+            # guard is live before this line prints: a SIGTERM any time
+            # after "start training" is guaranteed a clean checkpoint
+            logger.info("start training: %d epochs, %d steps/epoch",
+                        epochs, len(self.train_pipe))
+            for epoch in range(self.start_epoch, epochs):
+                # profile the second epoch (first is compile-dominated)
+                profile_now = (self.run.profile_dir
+                               and epoch == self.start_epoch + 1)
+                with trace(self.run.profile_dir if profile_now else None):
+                    self.run_train_epoch(
+                        epoch,
+                        log_scalars=epoch % self.run.log_every == 0,
+                        visualize=epoch % self.run.vis_every == 0)
+                timer.update(len(self.train_pipe) * self.cfg.batch_size)
+                if epoch % self.run.log_every == 0:
+                    self._writer("train").add_scalar(
+                        "perf/images_per_sec", timer.rate(), epoch)
+                    timer.reset()
+                if epoch % self.run.valid_every == 0 and self.valid_pipe:
+                    total = self.run_valid_epoch(epoch)
+                    if total < self.best_loss:
+                        self.best_loss = total
+                        ckpt.save_model_weights(self.state, self.models,
+                                                self.run.weights_dir,
+                                                "best")
+                        logger.info(
+                            "improvement after epoch %d, error=%.4f",
+                            epoch, total)
+                if guard is not None and guard.requested:
+                    self.save(epoch)
                     ckpt.save_model_weights(self.state, self.models,
-                                            self.run.weights_dir, "best")
-                    logger.info("improvement after epoch %d, error=%.4f",
-                                epoch, total)
-            if epoch % self.run.save_every == 0:
-                self.save(epoch)
+                                            self.run.weights_dir,
+                                            "latest")
+                    logger.warning(
+                        "preemption checkpoint written after epoch %d "
+                        "(%s); resume with --load-checkpoint",
+                        epoch, self.run.checkpoint_path)
+                    break
+                if epoch % self.run.save_every == 0:
+                    self.save(epoch)
         logger.info("training time %.1fs; best validation loss %.3f",
                     time.time() - t_start, self.best_loss)
 
