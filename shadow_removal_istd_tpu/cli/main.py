@@ -339,6 +339,12 @@ def main(args) -> None:
 
     if "train" in args.tasks:
         trainer.train(args.epochs)
+    if trainer.preempted:
+        # eviction imminent: the checkpoint is the deliverable — don't
+        # burn the grace period on inference/export (a SIGKILL mid-way
+        # would leave truncated outputs)
+        logger.warning("preempted: skipping remaining tasks")
+        return
     if "infer" in args.tasks:
         trainer.infer()
     if args.export_stablehlo:

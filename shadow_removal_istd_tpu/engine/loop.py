@@ -228,6 +228,7 @@ class Trainer:
 
         self.start_epoch = 0
         self.best_loss = float("inf")
+        self.preempted = False
         self._writers: dict = {}
 
     # ------------------------------------------------------------ data
@@ -330,7 +331,9 @@ class Trainer:
                             "improvement after epoch %d, error=%.4f",
                             epoch, total)
                 if guard is not None and guard.requested:
-                    self.save(epoch)
+                    # epoch + 1: this epoch is complete — resume must
+                    # continue with the NEXT one, not replay it
+                    self.save(epoch + 1)
                     ckpt.save_model_weights(self.state, self.models,
                                             self.run.weights_dir,
                                             "latest")
@@ -338,11 +341,13 @@ class Trainer:
                         "preemption checkpoint written after epoch %d "
                         "(%s); resume with --load-checkpoint",
                         epoch, self.run.checkpoint_path)
+                    self.preempted = True
                     break
                 if epoch % self.run.save_every == 0:
                     self.save(epoch)
         logger.info("training time %.1fs; best validation loss %.3f",
                     time.time() - t_start, self.best_loss)
+        return self.preempted
 
     def run_train_epoch(self, epoch: int, log_scalars: bool = False,
                         visualize: bool = False):

@@ -178,6 +178,38 @@ class ActNorm(nn.Module):
         return BatchNorm(dtype=self.dtype)(x, train)
 
 
+def subpixel_phase_kernel(w):
+    """3x3 kernel -> the (2,2,ci,4co) phase kernel of the subpixel
+    decomposition (see ``_subpixel_nn_conv``); shared with the int8
+    serving path (models/quant.py), which quantizes this transformed
+    kernel."""
+    # row-parity combine: even rows tap (x[i-1], x[i]) with (w0, w1+w2);
+    # odd rows tap (x[i], x[i+1]) with (w0+w1, w2)
+    we_r = jnp.stack([w[0], w[1] + w[2]], axis=0)          # (2,3,ci,co)
+    wo_r = jnp.stack([w[0] + w[1], w[2]], axis=0)
+
+    def _col(wr):
+        return (jnp.stack([wr[:, 0], wr[:, 1] + wr[:, 2]], axis=1),
+                jnp.stack([wr[:, 0] + wr[:, 1], wr[:, 2]], axis=1))
+
+    wee, weo = _col(we_r)
+    woe, woo = _col(wo_r)
+    return jnp.concatenate([wee, weo, woe, woo], axis=-1)  # (2,2,ci,4co)
+
+
+def subpixel_depth_to_space(y, h, wd, cout):
+    """(n, h+1, w+1, 4co) phase-conv output -> (n, 2h, 2w, co)."""
+    n = y.shape[0]
+    yee = y[:, :h, :wd, 0 * cout:1 * cout]
+    yeo = y[:, :h, 1:, 1 * cout:2 * cout]
+    yoe = y[:, 1:, :wd, 2 * cout:3 * cout]
+    yoo = y[:, 1:, 1:, 3 * cout:4 * cout]
+    rows0 = jnp.stack([yee, yeo], axis=3)                  # (n,h,w,2,co)
+    rows1 = jnp.stack([yoe, yoo], axis=3)
+    out = jnp.stack([rows0, rows1], axis=2)                # (n,h,2,w,2,co)
+    return out.reshape(n, 2 * h, 2 * wd, cout)
+
+
 def _subpixel_nn_conv(x, w, dtype=None):
     """nearest-2x upsample + 3x3 reflect-pad conv, computed WITHOUT
     materializing the upsampled tensor.
@@ -194,32 +226,12 @@ def _subpixel_nn_conv(x, w, dtype=None):
     n, h, wd, cin = x.shape
     cout = w.shape[-1]
     compute_dtype = dtype or x.dtype
-    w = w.astype(compute_dtype)
-    # row-parity combine: even rows tap (x[i-1], x[i]) with (w0, w1+w2);
-    # odd rows tap (x[i], x[i+1]) with (w0+w1, w2)
-    we_r = jnp.stack([w[0], w[1] + w[2]], axis=0)          # (2,3,ci,co)
-    wo_r = jnp.stack([w[0] + w[1], w[2]], axis=0)
-
-    def _col(wr):
-        return (jnp.stack([wr[:, 0], wr[:, 1] + wr[:, 2]], axis=1),
-                jnp.stack([wr[:, 0] + wr[:, 1], wr[:, 2]], axis=1))
-
-    wee, weo = _col(we_r)
-    woe, woo = _col(wo_r)
-    kernel = jnp.concatenate([wee, weo, woe, woo], axis=-1)  # (2,2,ci,4co)
-
+    kernel = subpixel_phase_kernel(w.astype(compute_dtype))
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     y = jax.lax.conv_general_dilated(
         xp.astype(compute_dtype), kernel, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (n, h+1, w+1, 4co)
-    yee = y[:, :h, :wd, 0 * cout:1 * cout]
-    yeo = y[:, :h, 1:, 1 * cout:2 * cout]
-    yoe = y[:, 1:, :wd, 2 * cout:3 * cout]
-    yoo = y[:, 1:, 1:, 3 * cout:4 * cout]
-    rows0 = jnp.stack([yee, yeo], axis=3)                  # (n,h,w,2,co)
-    rows1 = jnp.stack([yoe, yoo], axis=3)
-    out = jnp.stack([rows0, rows1], axis=2)                # (n,h,2,w,2,co)
-    return out.reshape(n, 2 * h, 2 * wd, cout)
+    return subpixel_depth_to_space(y, h, wd, cout)
 
 
 class Upsample(nn.Module):

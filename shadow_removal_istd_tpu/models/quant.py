@@ -36,6 +36,11 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from shadow_removal_istd_tpu.models.layers import (
+    subpixel_depth_to_space,
+    subpixel_phase_kernel,
+)
+
 
 def _bn_fold(kernel, bn_params, bn_stats, eps=1e-5):
     """conv(no bias) -> eval-BN  ==  conv(kernel * s) + b."""
@@ -106,24 +111,10 @@ def quantize_mnet(folded: dict, act_scales: dict, depth: int = 4) -> dict:
     for i in range(depth):
         pack(f"down{i}", folded[f"down{i}_w"])
         q[f"down{i}_b"] = folded[f"down{i}_b"]
-        pack(f"up{i}", _phase_kernel(folded[f"up{i}_w"]))
+        pack(f"up{i}", subpixel_phase_kernel(folded[f"up{i}_w"]))
         q[f"up{i}_b"] = folded[f"up{i}_b"]
-    pack("final", _phase_kernel(folded["final"]))
+    pack("final", subpixel_phase_kernel(folded["final"]))
     return q
-
-
-def _phase_kernel(w):
-    """The (2,2,ci,4co) kernel _subpixel_nn_conv builds from a 3x3 w."""
-    we_r = jnp.stack([w[0], w[1] + w[2]], axis=0)
-    wo_r = jnp.stack([w[0] + w[1], w[2]], axis=0)
-
-    def _col(wr):
-        return (jnp.stack([wr[:, 0], wr[:, 1] + wr[:, 2]], axis=1),
-                jnp.stack([wr[:, 0] + wr[:, 1], wr[:, 2]], axis=1))
-
-    wee, weo = _col(we_r)
-    woe, woo = _col(wo_r)
-    return jnp.concatenate([wee, weo, woe, woo], axis=-1)
 
 
 def _conv_s2_reflect(x, w, qscale=None):
@@ -168,14 +159,7 @@ def _subpixel_phase_conv(x, w_t, cout, qscale=None):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32)
         y = y.astype(jnp.float32) * s
-    yee = y[:, :h, :wd, 0 * cout:1 * cout]
-    yeo = y[:, :h, 1:, 1 * cout:2 * cout]
-    yoe = y[:, 1:, :wd, 2 * cout:3 * cout]
-    yoo = y[:, 1:, 1:, 3 * cout:4 * cout]
-    rows0 = jnp.stack([yee, yeo], axis=3)
-    rows1 = jnp.stack([yoe, yoo], axis=3)
-    out = jnp.stack([rows0, rows1], axis=2)
-    return out.reshape(n, 2 * h, 2 * wd, cout)
+    return subpixel_depth_to_space(y, h, wd, cout)
 
 
 def _leaky(x):
@@ -231,7 +215,7 @@ def mnet_apply_folded(folded: dict, x, depth: int = 4,
         obs(f"up{j}", z)
         cout = src[f"up{j}_b"].shape[0]
         w_up = src[f"up{j}_w"] if qparams is not None \
-            else _phase_kernel(folded[f"up{j}_w"])
+            else subpixel_phase_kernel(folded[f"up{j}_w"])
         u = _subpixel_phase_conv(z, w_up, cout, q(f"up{j}"))
         u = (u + src[f"up{j}_b"]).astype(compute_dtype)
         y = jnp.concatenate([u, links[depth - 1 - j]], axis=-1)
@@ -239,7 +223,8 @@ def mnet_apply_folded(folded: dict, x, depth: int = 4,
     obs("final", y)
     if qparams is None:
         cout = folded["final"].shape[-1]
-        y = _subpixel_phase_conv(y, _phase_kernel(folded["final"]), cout)
+        y = _subpixel_phase_conv(y, subpixel_phase_kernel(folded["final"]),
+                                 cout)
     else:
         cout = qparams["final_w"].shape[-1] // 4
         y = _subpixel_phase_conv(y, qparams["final_w"], cout, q("final"))
@@ -254,17 +239,23 @@ def mnet_apply_folded(folded: dict, x, depth: int = 4,
 
 
 def calibrate_mnet(folded: dict, batches, depth: int = 4,
-                   activation: str = "tanh") -> dict:
-    """Run representative batches, return per-site activation amaxes."""
+                   activation: str = "tanh",
+                   return_outputs: bool = False):
+    """Run representative batches, return per-site activation amaxes
+    (and, with ``return_outputs``, the forward outputs — the observe
+    pass computes them anyway, so stacked calibration reuses them as
+    G2 inputs instead of re-running G1)."""
     run = jax.jit(partial(mnet_apply_folded, depth=depth,
                           activation=activation, observe=True))
     scales: dict | None = None
+    outputs = []
     for x in batches:
-        _, amax = run(folded, x)
+        y, amax = run(folded, x)
+        outputs.append(y)
         scales = amax if scales is None else \
             jax.tree_util.tree_map(jnp.maximum, scales, amax)
     assert scales is not None, "need at least one calibration batch"
-    return scales
+    return (scales, outputs) if return_outputs else scales
 
 
 # ---------------------------------------------------------------------------
@@ -288,11 +279,11 @@ def quantize_stacked(state, calib_batches, depth: int = 4,
     the image, exactly as served (engine/steps.py infer path).
     """
     f1, f2 = fold_stacked(state, depth=depth)
-    run1 = jax.jit(partial(mnet_apply_folded, depth=depth,
-                           activation=activation))
     batches = list(calib_batches)
-    s1 = calibrate_mnet(f1, batches, depth=depth, activation=activation)
-    g2_in = [jnp.concatenate([x, run1(f1, x)], axis=-1) for x in batches]
+    s1, m1 = calibrate_mnet(f1, batches, depth=depth,
+                            activation=activation, return_outputs=True)
+    g2_in = [jnp.concatenate([x, m], axis=-1)
+             for x, m in zip(batches, m1)]
     s2 = calibrate_mnet(f2, g2_in, depth=depth, activation=activation)
     return quantize_mnet(f1, s1, depth=depth), \
         quantize_mnet(f2, s2, depth=depth)

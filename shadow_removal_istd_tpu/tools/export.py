@@ -23,6 +23,8 @@ Typical flow::
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import export as jax_export
@@ -66,8 +68,12 @@ def export_stacked_inference(path: str, state, models,
     exported = jax_export.export(jax.jit(fn), platforms=list(platforms))(
         spec)
     blob = exported.serialize()
-    with open(path, "wb") as f:
+    # atomic publish: a crash mid-write must not leave a truncated
+    # artifact at the serving path
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(blob)
+    os.replace(tmp, path)
     return len(blob)
 
 
