@@ -145,6 +145,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "(spatial partitioning with GSPMD halo "
                              "exchange; scales full-resolution inference "
                              "latency, combines with data parallelism)")
+    parser.add_argument("--eval-metrics", action="store_true",
+                        help="during validation, also compute the ISTD "
+                             "LAB RMSE/MAE eval protocol (src/eval.py "
+                             "formulas) on device against the ground "
+                             "truth and log Eval/* scalars")
     parser.add_argument("--preempt-save", type=str2bool, default=True,
                         help="on SIGTERM (preemptible VM eviction "
                              "notice), write the full checkpoint at the "
@@ -319,6 +324,7 @@ def main(args) -> None:
         device_cache=args.device_cache,
         profile_dir=args.profile_dir,
         preempt_save=args.preempt_save,
+        eval_metrics=args.eval_metrics,
     )
 
     if args.spatial_shard > 1 and "train" in args.tasks:

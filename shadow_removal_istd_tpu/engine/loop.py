@@ -88,6 +88,11 @@ class RunConfig:
     # checkpoint + clean exit on SIGTERM at the next epoch boundary
     # (preemptible TPU VMs deliver SIGTERM before eviction)
     preempt_save: bool = True
+    # compute the ISTD LAB-RMSE/MAE eval protocol (the paper metric,
+    # reference src/eval.py) on the validation split every valid-every
+    # epochs and log Eval/* scalars — the reference only tracks losses
+    # during training and defers the real metric to the offline CLI
+    eval_metrics: bool = False
 
 
 class Trainer:
@@ -230,6 +235,7 @@ class Trainer:
         self.best_loss = float("inf")
         self.preempted = False
         self._writers: dict = {}
+        self._lab_parts_fn = None
 
     # ------------------------------------------------------------ data
     def _load_h5(self):
@@ -424,9 +430,13 @@ class Trainer:
                 "D2_real": 0.0, "D2_fake": 0.0}
         totals, n = 0.0, 0
         vis_batch = None
+        lab_parts = []
         for raw in self.valid_pipe.epoch():
             batch = self._normalize(self._place(raw))
             metrics, _ = self.eval_step(self.state, batch)
+            if self.run.eval_metrics:
+                lab_parts.append(self._lab_parts(
+                    self.state.g_params, self.state.batch_stats, *batch))
             metrics = jax.device_get(metrics)
             for k in _METRIC_KEYS:
                 sums[k] += float(metrics[k])
@@ -438,9 +448,50 @@ class Trainer:
                 vis_batch = batch
         if n:
             self._log_scalars("valid", epoch, sums, outs, n)
+            if lab_parts:
+                from shadow_removal_istd_tpu.metrics.metrics import (
+                    aggregate_regions,
+                )
+                agg = aggregate_regions(jax.device_get(lab_parts))
+                w = self._writer("valid")
+                for k in ("rmse", "rmse_non", "rmse_all",
+                          "mae", "mae_non", "mae_all"):
+                    w.add_scalar(f"Eval/{k}", agg[k], epoch)
+                w.flush()
+                logger.info(
+                    "eval protocol @ epoch %d: RMSE shadow %.2f / "
+                    "non-shadow %.2f / all %.2f", epoch,
+                    agg["rmse"], agg["rmse_non"], agg["rmse_all"])
             if vis_batch is not None:
                 self._log_images("valid", epoch, vis_batch)
         return totals / max(n, 1)
+
+    def _lab_parts(self, g_params, batch_stats, x, m, y):
+        """ISTD eval-protocol sums for one validation batch, on device.
+
+        Training tensors are BGR in [-1, 1] (reference dataflow); the
+        protocol (src/eval.py) works on RGB [0, 1] LAB. The GT matte
+        thresholded at 0 ([-1,1] space) plays the shadow mask's role.
+        """
+        if self._lab_parts_fn is None:
+            from shadow_removal_istd_tpu.metrics.metrics import (
+                region_metrics,
+            )
+            from shadow_removal_istd_tpu.ops.color import (
+                bgr_to_rgb,
+                rgb_to_lab,
+            )
+            infer = make_infer_step(self.models)
+
+            def parts(g_params, batch_stats, x, m, y):
+                _, y_pred = infer(g_params, batch_stats, x)
+                to_lab = lambda t: rgb_to_lab(bgr_to_rgb(  # noqa: E731
+                    jnp.clip(t.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)))
+                mask = m[..., 0] > 0.0
+                return region_metrics(to_lab(y_pred), to_lab(y), mask)
+
+            self._lab_parts_fn = jax.jit(parts)
+        return self._lab_parts_fn(g_params, batch_stats, x, m, y)
 
     # ------------------------------------------------------- reporting
     def _log_scalars(self, which, epoch, sums, outs, n):

@@ -126,13 +126,21 @@ class TestEndToEnd:
                 ["--tasks", "train", "--epochs", "1"] + common))
 
         args = build_parser().parse_args(
-            ["--tasks", "train", "--epochs", "1", "--allow-missing-vgg"]
-            + common)
+            ["--tasks", "train", "--epochs", "1", "--allow-missing-vgg",
+             "--eval-metrics"] + common)
         main(args)
         weights_dir = args.weights  # suffixed by makedirs
         files = os.listdir(weights_dir)
         assert any(f.startswith("G1_MNet_latest") for f in files)
         assert "checkpoint.msgpack" in files
+        # --eval-metrics ran the ISTD LAB protocol during validation
+        logs = []
+        for dirpath, _, fnames in os.walk(args.logs):
+            logs += [os.path.join(dirpath, f) for f in fnames
+                     if f.endswith(".log")]
+        assert logs
+        text = "".join(open(f).read() for f in logs)
+        assert "eval protocol @ epoch" in text
 
         args2 = build_parser().parse_args(
             ["--tasks", "infer",
