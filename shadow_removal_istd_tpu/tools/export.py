@@ -89,3 +89,53 @@ def load_exported(path: str):
         return exported.call(x)
 
     return run
+
+
+def main(argv=None):
+    """Standalone export CLI: checkpoint -> serving artifact.
+
+    python -m shadow_removal_istd_tpu.tools.export \\
+        --load-checkpoint w/checkpoint.msgpack --out model.shlo \\
+        [--shape 480 640] [--batch N] [--ngf 64] [--net-G mnet] ...
+    """
+    import argparse
+
+    from shadow_removal_istd_tpu.engine import (
+        TrainConfig,
+        build_models,
+        init_state,
+    )
+    from shadow_removal_istd_tpu.engine.checkpoint import load_checkpoint
+
+    parser = argparse.ArgumentParser(
+        description="serialize a trained checkpoint as a self-contained "
+                    "StableHLO serving artifact")
+    parser.add_argument("--load-checkpoint", required=True)
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--shape", type=int, nargs=2, default=[480, 640],
+                        metavar=("H", "W"))
+    parser.add_argument("--batch", type=int, default=None,
+                        help="pin the batch (default: symbolic — any "
+                             "batch at serving time)")
+    parser.add_argument("--net-G", default="mnet")
+    parser.add_argument("--ngf", type=int, default=64)
+    parser.add_argument("--NN-upconv", action="store_true")
+    parser.add_argument("--activation", default="tanh")
+    parser.add_argument("--platforms", nargs="+", default=["tpu", "cpu"])
+    args = parser.parse_args(argv)
+
+    cfg = TrainConfig(net_g=args.net_G, ngf=args.ngf,
+                      nn_upconv=args.NN_upconv, activation=args.activation,
+                      use_visual_loss=False, droprate=0.0)
+    models = build_models(cfg)
+    state = init_state(jax.random.key(0), cfg, models, image_size=32)
+    state, _ = load_checkpoint(state, args.load_checkpoint)
+    nbytes = export_stacked_inference(
+        args.out, state, models, image_shape=tuple(args.shape),
+        batch_size=args.batch, platforms=tuple(args.platforms))
+    print(f"wrote {args.out} ({nbytes / 1e6:.1f} MB, "
+          f"platforms={args.platforms})")
+
+
+if __name__ == "__main__":
+    main()

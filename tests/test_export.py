@@ -62,6 +62,31 @@ class TestExport:
             np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
                                        atol=1e-6)
 
+    def test_standalone_export_cli(self, tmp_path):
+        """checkpoint -> python -m ...tools.export -> runnable artifact."""
+        from shadow_removal_istd_tpu.engine.checkpoint import (
+            save_checkpoint)
+        from shadow_removal_istd_tpu.tools.export import main as export_main
+        cfg = TrainConfig(ngf=4, ndf=4, image_size=32, batch_size=2,
+                          use_visual_loss=False, droprate=0.0,
+                          steps_per_epoch=1)
+        models = build_models(cfg)
+        state = init_state(jax.random.key(0), cfg, models)
+        ckpt = str(tmp_path / "checkpoint.msgpack")
+        save_checkpoint(state, ckpt, epoch=7)
+        out = str(tmp_path / "served.shlo")
+        export_main(["--load-checkpoint", ckpt, "--out", out,
+                     "--shape", "32", "32", "--batch", "1",
+                     "--ngf", "4", "--platforms", "cpu"])
+        m, y = load_exported(out)(jnp.zeros((1, 32, 32, 3), jnp.float32))
+        assert m.shape == (1, 32, 32, 1) and y.shape == (1, 32, 32, 3)
+        # params actually came from the checkpoint, not the fresh init
+        m_ref, _ = make_infer_step(models)(
+            state.g_params, state.batch_stats,
+            jnp.zeros((1, 32, 32, 3), jnp.float32))
+        np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                                   atol=1e-6)
+
     def test_artifact_is_self_contained(self, tmp_path):
         # the serialized bytes must deserialize and run through
         # jax.export alone (no package model code in the load path)
