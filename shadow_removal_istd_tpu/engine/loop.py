@@ -526,37 +526,52 @@ class Trainer:
     # ------------------------------------------------------- inference
     def infer(self):
         """Run G1+G2 over the validation split and write PNGs
-        (reference src/cgan.py:420-464)."""
+        (reference src/cgan.py:420-464).
+
+        PNG encoding runs write-behind on a small thread pool (cv2
+        releases the GIL in imencode), overlapping host IO with the
+        next batch's device compute instead of serializing them like
+        the reference's per-image cv.imwrite loop.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         assert self.valid_pipe is not None, "no validation data"
         for sub in ("shadowless", "matte"):
             os.makedirs(os.path.join(self.run.infered_dir, sub),
                         exist_ok=True)
         idx = 0
-        for raw in self.valid_pipe.epoch():
-            batch = self._normalize(self._place(raw))
-            x = batch[0]
-            m_pred, y_pred = self.infer_step(self.state.g_params,
-                                             self.state.batch_stats, x)
-            m_pred = denormalize(m_pred)
-            y_pred = denormalize(y_pred)
-            if self.cfg.infer_resize is not None:
-                # legacy tree resizes outputs to 256x192 before writing
-                # (reference STCGAN/stcgan.py:366-373)
-                from shadow_removal_istd_tpu.ops.resize import resize_linear
-                m_pred = resize_linear(m_pred, self.cfg.infer_resize)
-                y_pred = resize_linear(y_pred, self.cfg.infer_resize)
-            m_np = np.asarray(jax.device_get(float_to_uint8(m_pred)))
-            y_np = np.asarray(jax.device_get(float_to_uint8(y_pred)))
-            for i in range(m_np.shape[0]):
-                name = (self.valid_names[idx] if idx < len(self.valid_names)
-                        else f"{idx:05d}")
-                for sub, arr in (("shadowless", y_np[i]),
-                                 ("matte", m_np[i][..., 0])):
-                    path = os.path.join(self.run.infered_dir, sub,
-                                        f"{name}.png")
-                    os.makedirs(os.path.dirname(path), exist_ok=True)
-                    imwrite(path, arr)
-                idx += 1
+        futures = []
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for raw in self.valid_pipe.epoch():
+                batch = self._normalize(self._place(raw))
+                x = batch[0]
+                m_pred, y_pred = self.infer_step(self.state.g_params,
+                                                 self.state.batch_stats, x)
+                m_pred = denormalize(m_pred)
+                y_pred = denormalize(y_pred)
+                if self.cfg.infer_resize is not None:
+                    # legacy tree resizes outputs to 256x192 before
+                    # writing (reference STCGAN/stcgan.py:366-373)
+                    from shadow_removal_istd_tpu.ops.resize import (
+                        resize_linear,
+                    )
+                    m_pred = resize_linear(m_pred, self.cfg.infer_resize)
+                    y_pred = resize_linear(y_pred, self.cfg.infer_resize)
+                m_np = np.asarray(jax.device_get(float_to_uint8(m_pred)))
+                y_np = np.asarray(jax.device_get(float_to_uint8(y_pred)))
+                for i in range(m_np.shape[0]):
+                    name = (self.valid_names[idx]
+                            if idx < len(self.valid_names)
+                            else f"{idx:05d}")
+                    for sub, arr in (("shadowless", y_np[i]),
+                                     ("matte", m_np[i][..., 0])):
+                        path = os.path.join(self.run.infered_dir, sub,
+                                            f"{name}.png")
+                        os.makedirs(os.path.dirname(path), exist_ok=True)
+                        futures.append(pool.submit(imwrite, path, arr))
+                    idx += 1
+            for f in futures:
+                f.result()  # surface any write error
         return idx
 
     # ------------------------------------------------------ checkpoint
