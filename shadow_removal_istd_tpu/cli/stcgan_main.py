@@ -158,6 +158,9 @@ def main(args) -> None:
                          d1=args.load_weights_d1, d2=args.load_weights_d2)
     if "train" in args.tasks:
         trainer.train(args.epochs)
+    if trainer.preempted:
+        logger.warning("preempted: skipping remaining tasks")
+        return
     if "infer" in args.tasks:
         trainer.infer()
 

@@ -350,7 +350,9 @@ class Trainer:
                     self.preempted = True
                     break
                 if epoch % self.run.save_every == 0:
-                    self.save(epoch)
+                    # epoch + 1, same as the preemption save: the epoch
+                    # is complete, resume continues with the next one
+                    self.save(epoch + 1)
         logger.info("training time %.1fs; best validation loss %.3f",
                     time.time() - t_start, self.best_loss)
         return self.preempted
@@ -433,10 +435,11 @@ class Trainer:
         lab_parts = []
         for raw in self.valid_pipe.epoch():
             batch = self._normalize(self._place(raw))
-            metrics, _ = self.eval_step(self.state, batch)
+            metrics, preds = self.eval_step(self.state, batch)
             if self.run.eval_metrics:
-                lab_parts.append(self._lab_parts(
-                    self.state.g_params, self.state.batch_stats, *batch))
+                # reuse eval_step's y_pred — no second G forward
+                lab_parts.append(self._lab_parts(preds[1], batch[1],
+                                                 batch[2]))
             metrics = jax.device_get(metrics)
             for k in _METRIC_KEYS:
                 sums[k] += float(metrics[k])
@@ -466,12 +469,13 @@ class Trainer:
                 self._log_images("valid", epoch, vis_batch)
         return totals / max(n, 1)
 
-    def _lab_parts(self, g_params, batch_stats, x, m, y):
+    def _lab_parts(self, y_pred, m, y):
         """ISTD eval-protocol sums for one validation batch, on device.
 
         Training tensors are BGR in [-1, 1] (reference dataflow); the
         protocol (src/eval.py) works on RGB [0, 1] LAB. The GT matte
         thresholded at 0 ([-1,1] space) plays the shadow mask's role.
+        ``y_pred`` comes from eval_step's already-computed predictions.
         """
         if self._lab_parts_fn is None:
             from shadow_removal_istd_tpu.metrics.metrics import (
@@ -481,17 +485,15 @@ class Trainer:
                 bgr_to_rgb,
                 rgb_to_lab,
             )
-            infer = make_infer_step(self.models)
 
-            def parts(g_params, batch_stats, x, m, y):
-                _, y_pred = infer(g_params, batch_stats, x)
+            def parts(y_pred, m, y):
                 to_lab = lambda t: rgb_to_lab(bgr_to_rgb(  # noqa: E731
                     jnp.clip(t.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)))
                 mask = m[..., 0] > 0.0
                 return region_metrics(to_lab(y_pred), to_lab(y), mask)
 
             self._lab_parts_fn = jax.jit(parts)
-        return self._lab_parts_fn(g_params, batch_stats, x, m, y)
+        return self._lab_parts_fn(y_pred, m, y)
 
     # ------------------------------------------------------- reporting
     def _log_scalars(self, which, epoch, sums, outs, n):
@@ -570,6 +572,11 @@ class Trainer:
                         os.makedirs(os.path.dirname(path), exist_ok=True)
                         futures.append(pool.submit(imwrite, path, arr))
                     idx += 1
+                # backpressure: bound pending writes so the queue never
+                # pins more than ~2 batches of decoded outputs in host
+                # memory (each pending arr keeps its batch array alive)
+                while len(futures) > 64:
+                    futures.pop(0).result()
             for f in futures:
                 f.result()  # surface any write error
         return idx
