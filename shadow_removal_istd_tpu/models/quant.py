@@ -26,6 +26,11 @@ Pipeline (all jit-friendly, inference/eval mode only):
 Only the MNet generator family (the reference's default G,
 src/main.py:176) with the nearest-upsample decoder is supported; the
 stacked G1+G2 pair quantizes via :func:`quantize_stacked`.
+
+Measured on the current chip/XLA the int8 path does NOT outrun the
+bf16 flagship at these channel widths (see README "int8 PTQ,
+measured") — it is kept as an accuracy-tested option (4x smaller packs)
+for hardware/widths where the trade flips.
 """
 
 from __future__ import annotations
