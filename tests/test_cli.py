@@ -154,6 +154,13 @@ class TestEndToEnd:
         assert len(os.listdir(out)) == 2
         matte0 = os.path.join(str(tmp_path / "out"), "matte", "istd")
         assert len(os.listdir(matte0)) == 2
+        # write-behind PNG outputs must be intact, full-size images
+        from shadow_removal_istd_tpu.utils.image_io import imread_color
+        for d, ch in ((out, 3), (matte0, 3)):
+            for f in os.listdir(d):
+                img = imread_color(os.path.join(d, f))
+                assert img.shape == (64, 64, ch)
+                assert img.std() > 0  # not a zero/truncated file
         # serving artifact: self-contained, loadable, runnable
         from shadow_removal_istd_tpu.tools.export import load_exported
         run = load_exported(str(tmp_path / "model.shlo"))
