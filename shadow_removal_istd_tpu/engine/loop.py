@@ -281,6 +281,7 @@ class Trainer:
                 image_sharding,
                 train_batch_sharding,
             )
+            from shadow_removal_istd_tpu.parallel.mesh import SPATIAL_AXIS
             n = batch[0].shape[0]
             if n % self.mesh.shape.get(DATA_AXIS, 1) == 0:
                 # batch over "data". Forward-only batches (valid/infer)
@@ -289,8 +290,13 @@ class Trainer:
                 # — the latency-scaling axis for full-resolution
                 # inference. Training batches stay data-only: see
                 # train_batch_sharding's docstring (Shardy backward
-                # miscompilation guard).
-                sharding = (train_batch_sharding(self.mesh) if train
+                # miscompilation guard). Row-sharding also requires H
+                # divisible by the spatial axis size; otherwise fall
+                # back to data-only rather than crash in device_put.
+                h = batch[0].shape[1]
+                spatial_ok = h % self.mesh.shape.get(SPATIAL_AXIS, 1) == 0
+                sharding = (train_batch_sharding(self.mesh)
+                            if train or not spatial_ok
                             else image_sharding(self.mesh))
                 return jax.tree.map(
                     lambda a: jax.device_put(a, sharding), batch)
@@ -574,8 +580,9 @@ class Trainer:
                     idx += 1
                 # backpressure: bound pending writes so the queue never
                 # pins more than ~2 batches of decoded outputs in host
-                # memory (each pending arr keeps its batch array alive)
-                while len(futures) > 64:
+                # memory (each pending arr keeps its batch array alive);
+                # 2 futures/image (matte + shadowless) x batch x 2
+                while len(futures) > 4 * max(self.cfg.batch_size, 1):
                     futures.pop(0).result()
             for f in futures:
                 f.result()  # surface any write error

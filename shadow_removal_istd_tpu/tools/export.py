@@ -5,9 +5,10 @@ that needs the full Python model zoo to run (torch.save at
 src/cgan.py:466-488). The TPU-native serving story is a **serialized
 StableHLO artifact** (``jax.export``): the trained parameters are baked
 into the graph as constants, so the file is self-contained — loading it
-needs jax but NOT this package's model code — and it is
-forward-compatible across jax releases per the StableHLO stability
-guarantees. Multi-platform lowering (``platforms=("tpu", "cpu")``)
+needs jax but NOT this package's model code — and it stays loadable by
+newer jax releases within the jax.export backward-compatibility window
+(newer jax loads older artifacts; the guarantee is bounded, not
+open-ended). Multi-platform lowering (``platforms=("tpu", "cpu")``)
 makes one artifact servable on TPU workers and CPU fallback hosts
 alike.
 

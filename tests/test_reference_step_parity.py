@@ -214,8 +214,9 @@ def test_one_train_step_matches_reference(variant):
                     ("G1", G1_loss), ("G2", G2_loss),
                     ("data1", data1_loss), ("data2", data2_loss),
                     ("G", G_loss)]:
-        assert abs(float(t) - float(metrics[name])) < 2e-5, \
-            f"{variant}/{name}: torch {float(t)} vs {float(metrics[name])}"
+        tv = t.detach().item()  # .item() on detached: no autograd warning
+        assert abs(tv - float(metrics[name])) < 2e-5, \
+            f"{variant}/{name}: torch {tv} vs {float(metrics[name])}"
 
     uvg1 = torch_to_flax_variables(tG1, models.g1, x)
     uvg2 = torch_to_flax_variables(tG2, models.g2, xm)
