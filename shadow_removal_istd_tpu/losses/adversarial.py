@@ -47,7 +47,8 @@ class AdversarialLoss:
         return (1.0, 0.0)
 
     def _cal(self, c_out: jnp.ndarray, label: float) -> jnp.ndarray:
-        c_out = c_out.astype(jnp.float32)  # loss math in f32 under bf16
+        c_out = c_out.astype(  # loss math in >=f32 under bf16
+            jnp.promote_types(c_out.dtype, jnp.float32))
         target = jnp.full_like(c_out, label)
         if self.mode == "reference":
             use_mse = not self.ls  # the reference's inverted branch
@@ -60,8 +61,9 @@ class AdversarialLoss:
 
     def d_loss(self, c_real: jnp.ndarray, c_fake: jnp.ndarray):
         """Discriminator objective (reference forward, D_loss=True)."""
-        c_real = c_real.astype(jnp.float32)
-        c_fake = c_fake.astype(jnp.float32)
+        acc = jnp.promote_types(c_real.dtype, jnp.float32)
+        c_real = c_real.astype(acc)
+        c_fake = c_fake.astype(acc)
         real_l, fake_l = self._labels()
         if self.rel:
             if self.avg:  # RaGAN
@@ -75,8 +77,9 @@ class AdversarialLoss:
 
     def g_loss(self, c_real: jnp.ndarray, c_fake: jnp.ndarray):
         """Generator objective (reference forward, D_loss=False)."""
-        c_real = c_real.astype(jnp.float32)
-        c_fake = c_fake.astype(jnp.float32)
+        acc = jnp.promote_types(c_real.dtype, jnp.float32)
+        c_real = c_real.astype(acc)
+        c_fake = c_fake.astype(acc)
         real_l, fake_l = self._labels()
         if self.rel:
             if self.avg:  # RaGAN

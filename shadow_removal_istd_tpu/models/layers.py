@@ -117,9 +117,11 @@ class BatchNorm(nn.Module):
     reference and for eval-mode parity after training. Normalization in
     train mode uses the biased batch variance, as torch does.
 
-    Statistics always accumulate in float32 — under bf16 compute the
-    input is upcast for the reduction (standard mixed-precision
-    practice); the output returns in the surrounding compute dtype.
+    Statistics accumulate in ``promote_types(input, float32)`` — under
+    bf16 compute the input is upcast for the reduction (standard
+    mixed-precision practice) and float64 inputs keep float64 (the x64
+    numerical-parity harnesses need the headroom); the output returns
+    in the surrounding compute dtype.
     Under GSPMD data parallelism the reductions below run over the
     *global* batch (XLA partitions them), which is strictly stronger
     than the reference's per-replica DataParallel BN.
@@ -132,7 +134,7 @@ class BatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         in_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
+        x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         c = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))

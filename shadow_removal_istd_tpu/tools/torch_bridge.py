@@ -169,7 +169,10 @@ def _set_path(tree: dict, path: tuple[str, ...], leaf_name: str, value):
         raise ValueError(
             f"shape mismatch at {'/'.join(path)}/{leaf_name}: "
             f"flax {tuple(old.shape)} vs torch-converted {tuple(value.shape)}")
-    node[leaf_name] = jnp.asarray(value, old.dtype)
+    # keep float64 torch weights as float64 (x64 parity harnesses);
+    # otherwise adopt the flax tree's dtype
+    target = value.dtype if value.dtype == np.float64 else old.dtype
+    node[leaf_name] = jnp.asarray(value, target)
 
 
 def torch_to_flax_variables(torch_model, flax_model, *example_args,
@@ -184,8 +187,10 @@ def torch_to_flax_variables(torch_model, flax_model, *example_args,
 
     f_order = flax_layer_order(flax_model, *example_args,
                                method_kwargs=method_kwargs)
+    p = next(torch_model.parameters(), None)
+    t_dtype = p.dtype if p is not None else torch.float32
     t_args = [
-        torch.zeros(tuple(np.shape(a)), dtype=torch.float32)
+        torch.zeros(tuple(np.shape(a)), dtype=t_dtype)
         .permute(0, 3, 1, 2)
         for a in example_args
     ]
