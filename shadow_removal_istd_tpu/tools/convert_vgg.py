@@ -61,7 +61,11 @@ def main(argv=None):
         vgg = models.vgg19_bn(pretrained=True, progress=False)
         sd = vgg.features.state_dict()
 
-    sd = {k: v for k, v in sd.items()}
+    # accept the raw torchvision checkpoint (full-model keys like
+    # "features.0.weight", what scripts/fetch_vgg19_bn.sh downloads)
+    # as well as a features-only state_dict ("0.weight")
+    sd = {(k[len("features."):] if k.startswith("features.") else k): v
+          for k, v in sd.items()}
     np.savez(args.out, **convert_state_dict(sd))
     print(f"wrote {args.out}")
 

@@ -142,6 +142,46 @@ class TestConvertVGG:
         assert feats.shape == (1, 2, 2, 512)  # 32 / 2^4, through pool4
 
 
+    def test_cli_accepts_raw_torchvision_checkpoint(self, tmp_path, rng):
+        """The fetch script (scripts/fetch_vgg19_bn.sh) hands the raw
+        torchvision download to --state-dict; its keys carry the
+        full-model "features." prefix, which the CLI must strip."""
+        torch = pytest.importorskip("torch")
+        from shadow_removal_istd_tpu.tools import convert_vgg
+        conv_bn = [(0, 1), (3, 4), (7, 8), (10, 11), (14, 15), (17, 18),
+                   (20, 21), (23, 24), (27, 28), (30, 31), (33, 34),
+                   (36, 37)]
+        cfg = [64, 64, 128, 128, 256, 256, 256, 256, 512, 512, 512, 512]
+        prev = 3
+        sd = {}
+        for (ci, bi), ch in zip(conv_bn, cfg):
+            sd[f"features.{ci}.weight"] = torch.randn(ch, prev, 3, 3)
+            sd[f"features.{ci}.bias"] = torch.randn(ch)
+            sd[f"features.{bi}.weight"] = torch.ones(ch)
+            sd[f"features.{bi}.bias"] = torch.zeros(ch)
+            sd[f"features.{bi}.running_mean"] = torch.zeros(ch)
+            sd[f"features.{bi}.running_var"] = torch.ones(ch)
+            prev = ch
+        pth = str(tmp_path / "vgg19_bn-c79401a0.pth")
+        torch.save(sd, pth)
+        out = str(tmp_path / "vgg19_bn.npz")
+        convert_vgg.main(["--state-dict", pth, "--out", out])
+        data = np.load(out)
+        assert data["conv0_kernel"].shape == (3, 3, 3, 64)
+        assert data["bn11_var"].shape == (512,)
+
+    def test_fetch_script_pins_checksum(self):
+        """scripts/fetch_vgg19_bn.sh must pin the torchvision URL whose
+        filename hash matches its hard-coded sha256 prefix."""
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "scripts", "fetch_vgg19_bn.sh")
+        text = open(path).read()
+        assert "vgg19_bn-c79401a0.pth" in text
+        assert 'SHA256_PREFIX="c79401a0"' in text
+        assert "sha256sum" in text
+        assert os.access(path, os.X_OK)
+
+
 class TestExperiments:
     def test_grid_expansion(self):
         from shadow_removal_istd_tpu.tools.experiments import expand_grid
