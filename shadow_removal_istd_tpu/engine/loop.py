@@ -236,6 +236,18 @@ class Trainer:
         self.preempted = False
         self._writers: dict = {}
         self._lab_parts_fn = None
+        # binary shadow-mask stream for the in-training eval protocol
+        # (reference src/eval.py:67-70 uses the mask dir, not the
+        # matte); loaded separately for the validation split when the
+        # training streams don't already include it
+        self._valid_masks = None
+        if (run.eval_metrics and "mask" not in self.cfg.train_datas
+                and run.data_dirs and not run.data_h5):
+            parts = []
+            for d in run.data_dirs:
+                ds = ISTDDataset(d, "test", datas=("mask",))
+                parts.append(ds.load_all()["mask"])
+            self._valid_masks = np.concatenate(parts)
 
     # ------------------------------------------------------------ data
     def _load_h5(self):
@@ -439,13 +451,17 @@ class Trainer:
         totals, n = 0.0, 0
         vis_batch = None
         lab_parts = []
+        ofs = 0
         for raw in self.valid_pipe.epoch():
+            n_b = raw[0].shape[0]
             batch = self._normalize(self._place(raw))
             metrics, preds = self.eval_step(self.state, batch)
             if self.run.eval_metrics:
                 # reuse eval_step's y_pred — no second G forward
-                lab_parts.append(self._lab_parts(preds[1], batch[1],
-                                                 batch[2]))
+                mask = self._protocol_mask(batch[1], ofs, n_b)
+                lab_parts.append(self._lab_parts(preds[1], batch[2],
+                                                 mask))
+            ofs += n_b
             metrics = jax.device_get(metrics)
             for k in _METRIC_KEYS:
                 sums[k] += float(metrics[k])
@@ -462,26 +478,62 @@ class Trainer:
                     aggregate_regions,
                 )
                 agg = aggregate_regions(jax.device_get(lab_parts))
+                # real binary-mask stream -> the actual paper protocol
+                # (Eval/*); matte-threshold fallback is only a PROXY
+                # for it and is tagged so in TensorBoard
+                tag = ("Eval" if self._has_protocol_masks()
+                       else "EvalProxy")
                 w = self._writer("valid")
                 for k in ("rmse", "rmse_non", "rmse_all",
                           "mae", "mae_non", "mae_all"):
-                    w.add_scalar(f"Eval/{k}", agg[k], epoch)
+                    w.add_scalar(f"{tag}/{k}", agg[k], epoch)
                 w.flush()
                 logger.info(
-                    "eval protocol @ epoch %d: RMSE shadow %.2f / "
-                    "non-shadow %.2f / all %.2f", epoch,
+                    "eval protocol%s @ epoch %d: RMSE shadow %.2f / "
+                    "non-shadow %.2f / all %.2f",
+                    "" if tag == "Eval" else " (matte proxy)", epoch,
                     agg["rmse"], agg["rmse_non"], agg["rmse_all"])
             if vis_batch is not None:
                 self._log_images("valid", epoch, vis_batch)
         return totals / max(n, 1)
 
-    def _lab_parts(self, y_pred, m, y):
+    def _has_protocol_masks(self) -> bool:
+        """True when the shadow mask fed to Eval/* is the PROTOCOL mask
+        (the binary ``_B`` stream, reference src/eval.py:67-70) rather
+        than the matte-threshold proxy."""
+        return (self._valid_masks is not None
+                or "mask" in self.cfg.train_datas)
+
+    def _protocol_mask(self, m, ofs: int, n: int):
+        """Boolean shadow mask (N, H, W) for one validation batch.
+
+        Priority: (a) the separately-loaded binary mask stream,
+        binarized like the protocol's ``img_as_bool`` (uint8 >= 128 ==
+        float > 0.5); (b) the mask already IS the m stream when the
+        legacy datas include it (normalized [-1,1] > 0 is the same
+        threshold); (c) matte > 0 as a proxy (tagged EvalProxy).
+        """
+        if self._valid_masks is not None:
+            u8 = self._valid_masks[ofs:ofs + n]
+            if u8.ndim == 4:
+                u8 = u8[..., 0]
+            if self.cfg.valid_resize is not None:
+                from shadow_removal_istd_tpu.ops.resize import resize
+                f = resize(jnp.asarray(u8, jnp.float32)[..., None] / 255.0,
+                           self.cfg.valid_resize)[..., 0]
+                return f > 0.5
+            return jnp.asarray(u8 >= 128)
+        return m[..., 0] > 0.0
+
+    def _lab_parts(self, y_pred, y, mask):
         """ISTD eval-protocol sums for one validation batch, on device.
 
         Training tensors are BGR in [-1, 1] (reference dataflow); the
-        protocol (src/eval.py) works on RGB [0, 1] LAB. The GT matte
-        thresholded at 0 ([-1,1] space) plays the shadow mask's role.
-        ``y_pred`` comes from eval_step's already-computed predictions.
+        protocol (src/eval.py) works on RGB [0, 1] LAB. ``y_pred``
+        comes from eval_step's already-computed predictions; ``mask``
+        from :meth:`_protocol_mask`. Remaining (documented) deviation
+        from the offline CLI: predictions are compared as floats,
+        without the PNG uint8 round-trip the offline protocol sees.
         """
         if self._lab_parts_fn is None:
             from shadow_removal_istd_tpu.metrics.metrics import (
@@ -492,14 +544,13 @@ class Trainer:
                 rgb_to_lab,
             )
 
-            def parts(y_pred, m, y):
+            def parts(y_pred, y, mask):
                 to_lab = lambda t: rgb_to_lab(bgr_to_rgb(  # noqa: E731
                     jnp.clip(t.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)))
-                mask = m[..., 0] > 0.0
                 return region_metrics(to_lab(y_pred), to_lab(y), mask)
 
             self._lab_parts_fn = jax.jit(parts)
-        return self._lab_parts_fn(y_pred, m, y)
+        return self._lab_parts_fn(y_pred, y, mask)
 
     # ------------------------------------------------------- reporting
     def _log_scalars(self, which, epoch, sums, outs, n):

@@ -188,3 +188,50 @@ class TestCheckpoint:
             np.allclose(a, b) for a, b in
             zip(jax.tree.leaves(state.g_params["g2"]),
                 jax.tree.leaves(loaded.g_params["g2"])))
+
+
+class TestEvalMetricsProtocol:
+    """--eval-metrics must use the binary mask stream when available
+    (reference src/eval.py:67-70), not the matte threshold."""
+
+    def test_mask_stream_loaded_and_binarized(self, tmp_path):
+        from shadow_removal_istd_tpu.data.istd import ISTDDataset
+        from shadow_removal_istd_tpu.data.synthetic import (
+            write_istd_layout,
+        )
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        root = str(tmp_path / "ISTD")
+        write_istd_layout(root, n_train=4, n_test=3, h=64, w=64)
+        cfg = tiny_cfg(lambda4=0.0, lambda5=0.0, batch_size=2,
+                       image_size=32)
+        run = RunConfig(data_dirs=(root,), eval_metrics=True,
+                        logs_dir=str(tmp_path / "logs"),
+                        weights_dir=str(tmp_path / "w"))
+        tr = Trainer(cfg, run)
+        assert tr._valid_masks is not None
+        assert tr._has_protocol_masks()
+        # binarization == img_as_bool semantics: uint8 >= 128
+        u8 = ISTDDataset(root, "test", datas=("mask",)).load_all()["mask"]
+        got = np.asarray(tr._protocol_mask(None, 0, 2))
+        np.testing.assert_array_equal(got, u8[:2, ..., 0] >= 128)
+        # the validation epoch runs the protocol end-to-end (including
+        # the ragged final batch) without error
+        total = tr.run_valid_epoch(0)
+        assert np.isfinite(total)
+
+    def test_injected_streams_fall_back_to_proxy(self):
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        cfg = tiny_cfg(lambda4=0.0, lambda5=0.0)
+        streams = {
+            "img": np.zeros((2, SIZE, SIZE, 3), np.uint8),
+            "matte": np.zeros((2, SIZE, SIZE, 1), np.uint8),
+            "target": np.zeros((2, SIZE, SIZE, 3), np.uint8),
+        }
+        tr = Trainer(cfg, RunConfig(eval_metrics=True),
+                     train_streams=streams, valid_streams=streams)
+        assert tr._valid_masks is None
+        assert not tr._has_protocol_masks()  # -> EvalProxy tag
+        m = jnp.asarray(np.random.default_rng(0).normal(
+            size=(2, SIZE, SIZE, 1)).astype(np.float32))
+        got = np.asarray(tr._protocol_mask(m, 0, 2))
+        np.testing.assert_array_equal(got, np.asarray(m)[..., 0] > 0.0)
