@@ -77,9 +77,11 @@ def bench_stacked_fullres():
                       _fill_params(g1, (1, 480, 640, 3)))
     v2 = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
                       _fill_params(g2, (1, 480, 640, 4)))
-    # measured on v5e: B=8 -> 268 img/s, 16 -> 328, 24 -> 359, 32 -> 370,
-    # 48 -> 374, 64 -> 383 (flattening; HBM headroom remains)
-    B, STEPS = 64, 8
+    # measured on v5e (after the phase-affine bf16-d2s fix, r3): B=64 ->
+    # 427 img/s, 96 -> 477, 128 -> 500, 160 -> 444; before the fix the
+    # sweep was flat at ~383 from B=48 up — halving the d2s copy bytes
+    # is what let larger batches scale again
+    B, STEPS = 128, 4
 
     @jax.jit
     def scanned(v1, v2, xs):

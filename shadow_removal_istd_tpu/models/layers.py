@@ -132,10 +132,18 @@ class BatchNorm(nn.Module):
     momentum: float = 0.1  # torch convention: weight of the NEW stats
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, d2s=None, tile: int = 1):
+        """``d2s``/``tile`` (eval only): ``x`` is a subpixel PHASE
+        tensor with ``tile * C`` channels whose channel ``c + k*C``
+        maps to output channel ``c``; the eval affine is applied with
+        tiled parameters and ``d2s`` rearranges afterwards. Per-channel
+        affine commutes with the spatial rearrangement, so this is
+        bit-identical to affine-after-d2s — but the f32 affine stays
+        fused in the conv epilogue and the d2s layout copy moves bf16
+        instead of f32 (measured +7% stacked inference at 480x640)."""
         in_dtype = x.dtype
         x32 = x.astype(jnp.promote_types(x.dtype, jnp.float32))
-        c = x.shape[-1]
+        c = x.shape[-1] // tile
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -144,6 +152,8 @@ class BatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
         if train:
+            assert d2s is None and tile == 1, \
+                "phase-tiled affine is an eval-only fast path"
             axes = tuple(range(x32.ndim - 1))
             mean = jnp.mean(x32, axes)
             mean2 = jnp.mean(jnp.square(x32), axes)
@@ -156,10 +166,16 @@ class BatchNorm(nn.Module):
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
+            if tile > 1:
+                mean = jnp.tile(mean, tile)
+                var = jnp.tile(var, tile)
+                scale = jnp.tile(scale, tile)
+                bias = jnp.tile(bias, tile)
 
         y = (x32 - mean) * (scale * jax.lax.rsqrt(var + self.epsilon)) + bias
         out_dtype = self.dtype or in_dtype
-        return y.astype(out_dtype)
+        y = y.astype(out_dtype)
+        return d2s(y) if d2s is not None else y
 
 
 class ActNorm(nn.Module):
@@ -212,6 +228,23 @@ def subpixel_depth_to_space(y, h, wd, cout):
     return out.reshape(n, 2 * h, 2 * wd, cout)
 
 
+def _subpixel_nn_conv_phase(x, w, dtype=None):
+    """The phase-conv half of :func:`_subpixel_nn_conv`: returns the
+    (n, h+1, w+1, 4co) phase tensor plus the matching depth-to-space
+    closure, so a caller can slip a (per-channel) epilogue between the
+    conv and the d2s rearrangement — see ``BatchNorm.__call__(d2s=...)``
+    for why that ordering is a measured win at full resolution."""
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    compute_dtype = dtype or x.dtype
+    kernel = subpixel_phase_kernel(w.astype(compute_dtype))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xp.astype(compute_dtype), kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (n, h+1, w+1, 4co)
+    return y, lambda t: subpixel_depth_to_space(t, h, wd, cout)
+
+
 def _subpixel_nn_conv(x, w, dtype=None):
     """nearest-2x upsample + 3x3 reflect-pad conv, computed WITHOUT
     materializing the upsampled tensor.
@@ -255,23 +288,34 @@ class Upsample(nn.Module):
     subpixel: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, defer_d2s: bool = False):
+        """``defer_d2s=True`` (subpixel path only) returns
+        ``(phase_tensor, d2s_closure)`` instead of the upsampled output,
+        letting the caller apply a per-channel epilogue on the 4co phase
+        channels while they are still the conv's direct output (so XLA
+        fuses it into the conv epilogue) and run the d2s layout copy in
+        the narrow dtype afterwards."""
         if self.no_conv_t:
             conv = ConvReflect(self.features, (3, 3), (1, 1), padding=1,
                                use_bias=self.use_bias,
                                kernel_init=self.kernel_init,
                                dtype=self.dtype)
             if not self.subpixel:
+                assert not defer_d2s
                 return conv(upsample_nearest(x, 2))
             # Materialize the conv's params at their usual tree path by
             # tracing it on a tiny dummy; XLA dead-code-eliminates the
             # unused call, and checkpoints/bridge layouts stay stable.
             _ = conv(jnp.zeros((1, 2, 2, x.shape[-1]), x.dtype))
             w = conv.variables["params"]["Conv_0"]["kernel"]
+            if defer_d2s:
+                assert not self.use_bias
+                return _subpixel_nn_conv_phase(x, w, dtype=self.dtype)
             out = _subpixel_nn_conv(x, w, dtype=self.dtype)
             if self.use_bias:
                 out = out + conv.variables["params"]["Conv_0"]["bias"]
             return out
+        assert not defer_d2s
         # 'SAME' reproduces torch ConvTranspose2d(4, stride=2, padding=1)
         # geometry: out = 2*in with one row/col cropped from each side.
         return nn.ConvTranspose(self.features, (4, 4), (2, 2),
