@@ -1,0 +1,299 @@
+#!/usr/bin/env python
+"""Miniature end-to-end ACCURACY parity: torch reference vs this
+framework, identical init, identical data, identical batch order.
+
+The full-ISTD north star ("within 1% LAB RMSE of the reference") cannot
+run here — the dataset isn't in this environment. This is the claim in
+miniature: both frameworks train their stacked GAN from the SAME
+bridged initial weights on the SAME small structured dataset with the
+SAME batch sequence and production numerics (f32, Adam eps=1e-8,
+ExponentialLR gamma=1-decay per epoch), then each framework's final
+G1+G2 renders the images and the OFFLINE eval protocol (LAB RMSE over
+shadow/non-shadow regions, reference src/eval.py:104-115) scores both
+sets of outputs against ground truth. A loss-scale or schedule bug in
+either engine shows up as a systematic gap between the two scores that
+single-step/trajectory parity (which runs few steps) cannot see.
+
+Trajectories themselves are NOT compared pointwise — at f32 with
+eps=1e-8, GAN training is sign-noise chaotic (see
+tests/test_reference_trajectory_parity.py) — the claim is that both
+engines optimize the SAME objective to the SAME quality.
+
+Usage: python benchmarks/mini_e2e_parity.py [--epochs 200] [--n 8]
+       [--size 64] [--ngf 32]
+Prints one JSON line with both RMSEs and the relative gap.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_dataset(n, size, seed=0):
+    """Structured synthetic triplets, normalized to [-1, 1] BGR-order
+    float32 NHWC (the training-space convention both engines use)."""
+    from shadow_removal_istd_tpu.data.synthetic import synthetic_triplets
+    d = synthetic_triplets(n, size, size, seed=seed)
+    to_f = lambda a: (a.astype(np.float32) / 255.0 - 0.5) * 2.0  # noqa
+    return to_f(d["img"]), to_f(d["matte"]), to_f(d["target"]), d
+
+
+def torch_setup(cfg, ngf, ndf):
+    sys.path.insert(0, "/root/reference")
+    for _n in ("torchvision", "torchvision.models",
+               "torchvision.transforms"):
+        sys.modules.setdefault(_n, types.ModuleType(_n))
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    sys.modules["torchvision"].transforms = (
+        sys.modules["torchvision.transforms"])
+    import torch
+    from src import networks as rn
+    torch.manual_seed(0)
+    kw = dict(drop_rate=0.0, no_conv_t=cfg.nn_upconv, use_selu=False,
+              activation="tanh")
+    tG1 = rn.get_generator("mnet", in_channels=3, out_channels=1,
+                           ngf=ngf, **kw)
+    tG2 = rn.get_generator("mnet", in_channels=4, out_channels=3,
+                           ngf=ngf, **kw)
+    tD1 = rn.get_discriminator(cfg.net_d, in_channels=4, out_channels=1,
+                               ndf=ndf, use_selu=False, use_sigmoid=False)
+    tD2 = rn.get_discriminator(cfg.net_d, in_channels=7, out_channels=3,
+                               ndf=ndf, use_selu=False, use_sigmoid=False)
+    for m in (tG1, tG2, tD1, tD2):
+        rn.weights_init(m)
+        m.train()
+    return tG1, tG2, tD1, tD2
+
+
+def torch_train(nets, cfg, batches_per_epoch, epochs):
+    """The reference's exact per-batch body (src/cgan.py:275-360) under
+    its optimizers/schedulers (src/cgan.py:85-94, 382-384)."""
+    import torch
+    from src.loss import AdversarialLoss, DataLoss
+    tG1, tG2, tD1, tD2 = nets
+    optim_G = torch.optim.Adam(
+        list(tG1.parameters()) + list(tG2.parameters()),
+        lr=cfg.lr_g, betas=(cfg.beta1, cfg.beta2), eps=cfg.adam_eps)
+    optim_D = torch.optim.Adam(
+        list(tD1.parameters()) + list(tD2.parameters()),
+        lr=cfg.lr_d, betas=(cfg.beta1, cfg.beta2), eps=cfg.adam_eps)
+    sch_G = torch.optim.lr_scheduler.ExponentialLR(
+        optim_G, gamma=1.0 - cfg.decay)
+    sch_D = torch.optim.lr_scheduler.ExponentialLR(
+        optim_D, gamma=1.0 - cfg.decay)
+    adv = AdversarialLoss(ls=False, rel=False, avg=False)
+    dl = DataLoss()
+
+    for epoch in range(epochs):
+        for x, mt, y in batches_per_epoch(epoch):
+            tx = torch.tensor(x).permute(0, 3, 1, 2)
+            tm = torch.tensor(mt).permute(0, 3, 1, 2)
+            ty = torch.tensor(y).permute(0, 3, 1, 2)
+            tD1.requires_grad_(True)
+            tD2.requires_grad_(True)
+            optim_D.zero_grad()
+            optim_G.zero_grad()
+            C1_real = tD1(torch.cat((tx, tm), dim=1))
+            m_pred = tG1(tx)
+            C1_fake = tD1(torch.cat((tx, m_pred.detach()), dim=1))
+            C2_real = tD2(torch.cat((tx, tm, ty), dim=1))
+            y_pred = tG2(torch.cat((tx, m_pred), dim=1))
+            C2_fake = tD2(torch.cat(
+                (tx, m_pred.detach(), y_pred.detach()), dim=1))
+            D_loss = (cfg.lambda2 * adv(C1_real, C1_fake, D_loss=True)
+                      + cfg.lambda3 * adv(C2_real, C2_fake, D_loss=True))
+            D_loss.backward()
+            optim_D.step()
+            optim_G.zero_grad()
+            tD1.requires_grad_(False)
+            tD2.requires_grad_(False)
+            C1_real = tD1(torch.cat((tx, tm), dim=1))
+            C1_fake = tD1(torch.cat((tx, m_pred), dim=1))
+            C2_real = tD2(torch.cat((tx, tm, ty), dim=1))
+            C2_fake = tD2(torch.cat((tx, m_pred, y_pred), dim=1))
+            G_loss = (dl(m_pred, tm) + cfg.lambda1 * dl(y_pred, ty)
+                      + cfg.lambda2 * adv(C1_real, C1_fake, D_loss=False)
+                      + cfg.lambda3 * adv(C2_real, C2_fake, D_loss=False))
+            G_loss.backward()
+            optim_G.step()
+        sch_G.step()
+        sch_D.step()
+    return D_loss.detach().item(), G_loss.detach().item()
+
+
+def jax_train(state, step_fn, batches_per_epoch, epochs):
+    import jax
+    import jax.numpy as jnp
+    for epoch in range(epochs):
+        for s, (x, mt, y) in enumerate(batches_per_epoch(epoch)):
+            state, metrics = step_fn(
+                state, (jnp.asarray(x), jnp.asarray(mt), jnp.asarray(y)),
+                jax.random.key(epoch * 10000 + s))
+    return state, jax.device_get(metrics)
+
+
+def eval_outputs(y_pred_u8, target_u8, mask_u8):
+    """The offline protocol's aggregation (src/eval.py:104-115) via the
+    framework-neutral metrics module (itself oracle-tested against an
+    independent numpy/scipy reimplementation)."""
+    import jax.numpy as jnp
+    from shadow_removal_istd_tpu.metrics.metrics import (
+        aggregate_regions,
+        region_metrics,
+    )
+    from shadow_removal_istd_tpu.ops.color import rgb_to_lab
+
+    # protocol space: RGB [0,1]; training arrays are BGR uint8-derived
+    to_lab = lambda u8: rgb_to_lab(  # noqa: E731
+        jnp.asarray(u8[..., ::-1].astype(np.float32) / 255.0))
+    mask = jnp.asarray(mask_u8[..., 0] >= 128)
+    parts = [region_metrics(to_lab(y_pred_u8[i:i + 1]),
+                            to_lab(target_u8[i:i + 1]), mask[i:i + 1])
+             for i in range(y_pred_u8.shape[0])]
+    import jax
+    return aggregate_regions(jax.device_get(parts))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--n", type=int, default=8)
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--ngf", type=int, default=32)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--net-d", default="patchgan",
+                   choices=["patchgan", "dummy"],
+                   help="dummy zeroes the adversarial terms (reference "
+                        "src/cgan.py:160-162) -> deterministic-ish "
+                        "supervised objective, the low-variance "
+                        "complement to the chaotic GAN comparison")
+    p.add_argument("--order-seed", type=int, default=1234,
+                   help="batch-order RNG seed (vary to estimate GAN "
+                        "run-to-run variance under identical init)")
+    p.add_argument("--skip-torch", action="store_true",
+                   help="train only the jax side (variance probes)")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from shadow_removal_istd_tpu.engine import (
+        TrainConfig,
+        build_models,
+        init_state,
+        make_train_step,
+    )
+    from shadow_removal_istd_tpu.engine.state import make_optimizers
+    from shadow_removal_istd_tpu.ops.augment import (
+        denormalize,
+        float_to_uint8,
+    )
+    from shadow_removal_istd_tpu.tools.torch_bridge import (
+        torch_to_flax_variables,
+    )
+
+    x_all, m_all, y_all, raw = build_dataset(args.n, args.size)
+    steps = args.n // args.batch
+    order_rng = np.random.default_rng(args.order_seed)
+    orders = [order_rng.permutation(args.n)
+              for _ in range(args.epochs)]
+
+    def batches_per_epoch(epoch):
+        idx = orders[epoch]
+        for s in range(steps):
+            sel = idx[s * args.batch:(s + 1) * args.batch]
+            yield x_all[sel], m_all[sel], y_all[sel]
+
+    cfg = TrainConfig(net_d=args.net_d, d_type="normal", ngf=args.ngf,
+                      ndf=args.ngf, droprate=0.0, image_size=args.size,
+                      batch_size=args.batch, use_visual_loss=False,
+                      lambda4=0.0, lambda5=0.0,
+                      steps_per_epoch=steps)
+
+    nets = torch_setup(cfg, args.ngf, args.ngf)
+    models = build_models(cfg)
+    x0 = x_all[:1]
+    xm0 = np.concatenate([x0, m_all[:1]], -1)
+    xmy0 = np.concatenate([x0, m_all[:1], y_all[:1]], -1)
+    vg1 = torch_to_flax_variables(nets[0], models.g1, x0)
+    vg2 = torch_to_flax_variables(nets[1], models.g2, xm0)
+    vd1 = torch_to_flax_variables(nets[2], models.d1, xm0)
+    vd2 = torch_to_flax_variables(nets[3], models.d2, xmy0)
+    state = init_state(jax.random.key(0), cfg, models)
+    state = state.replace(
+        g_params={"g1": vg1["params"], "g2": vg2["params"]},
+        d_params={"d1": vd1["params"], "d2": vd2["params"]},
+        batch_stats={k: v.get("batch_stats", {}) for k, v in
+                     zip(("g1", "g2", "d1", "d2"),
+                         (vg1, vg2, vd1, vd2))})
+    tx_g, tx_d = make_optimizers(cfg)
+    state = state.replace(opt_g=tx_g.init(state.g_params),
+                          opt_d=tx_d.init(state.d_params))
+
+    t0 = time.time()
+    state, _ = jax_train(state, make_train_step(models, cfg),
+                         batches_per_epoch, args.epochs)
+    t_jax = time.time() - t0
+    t0 = time.time()
+    if not args.skip_torch:
+        torch_train(nets, cfg, batches_per_epoch, args.epochs)
+    t_torch = time.time() - t0
+
+    # ---- render + protocol scoring ---------------------------------
+    import torch as _torch
+    tG1, tG2 = nets[0], nets[1]
+    tG1.eval()
+    tG2.eval()
+    with _torch.no_grad():
+        tx = _torch.tensor(x_all).permute(0, 3, 1, 2)
+        tm_p = tG1(tx)
+        ty_p = tG2(_torch.cat((tx, tm_p), dim=1))
+    torch_y = np.clip((ty_p.permute(0, 2, 3, 1).numpy() * 0.5 + 0.5)
+                      * 255.0, 0, 255).astype(np.uint8)
+
+    mm = models.g1.apply({"params": state.g_params["g1"],
+                          "batch_stats": state.batch_stats["g1"]},
+                         jnp.asarray(x_all), train=False)
+    yy = models.g2.apply({"params": state.g_params["g2"],
+                          "batch_stats": state.batch_stats["g2"]},
+                         jnp.concatenate([jnp.asarray(x_all), mm], -1),
+                         train=False)
+    jax_y = np.asarray(jax.device_get(
+        float_to_uint8(denormalize(yy))))
+
+    target_u8 = raw["target"]
+    mask_u8 = raw["mask"]
+    res_torch = eval_outputs(torch_y, target_u8, mask_u8)
+    res_jax = eval_outputs(jax_y, target_u8, mask_u8)
+    res_input = eval_outputs(raw["img"], target_u8, mask_u8)
+
+    gap = abs(res_jax["rmse_all"] - res_torch["rmse_all"]) / max(
+        res_torch["rmse_all"], 1e-9)
+    print(json.dumps({
+        "metric": "mini e2e accuracy parity (LAB RMSE all-region)",
+        "net_d": args.net_d, "order_seed": args.order_seed,
+        "epochs": args.epochs, "images": args.n, "size": args.size,
+        "rmse_all_torch": round(res_torch["rmse_all"], 4),
+        "rmse_all_jax": round(res_jax["rmse_all"], 4),
+        "rmse_shadow_torch": round(res_torch["rmse"], 4),
+        "rmse_shadow_jax": round(res_jax["rmse"], 4),
+        "rmse_all_untrained_input": round(res_input["rmse_all"], 4),
+        "relative_gap": round(gap, 4),
+        "train_s_torch_cpu": round(t_torch, 1),
+        "train_s_jax": round(t_jax, 1),
+    }))
+    return gap
+
+
+if __name__ == "__main__":
+    main()

@@ -209,3 +209,31 @@ class TestPrefetch:
         assert out == []
         one = [(np.zeros((2, 2)),)]
         assert len(list(prefetch_to_device(iter(one), size=4))) == 1
+
+
+class TestPlaceDivisibilityGuard:
+    """Trainer._place must fall back to data-only sharding when image H
+    doesn't divide the spatial axis (e.g. --spatial-shard 3 at H=32):
+    jax.device_put would otherwise raise mid-validation."""
+
+    def test_indivisible_h_falls_back_to_data_only(self):
+        from shadow_removal_istd_tpu.engine import TrainConfig
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        from shadow_removal_istd_tpu.parallel import make_mesh_2d
+
+        mesh = make_mesh_2d(2, 3)  # spatial=3 does not divide H=32
+        cfg = TrainConfig(ngf=4, ndf=4, image_size=32, batch_size=2,
+                          use_visual_loss=False, droprate=0.0)
+        tr = Trainer(cfg, RunConfig(), mesh=mesh)
+        batch = tuple(np.zeros((2, 32, 32, c), np.float32)
+                      for c in (3, 1, 3))
+        placed = tr._place(batch)  # must not raise
+        spec = placed[0].sharding.spec
+        # batch dim on "data", H NOT sharded
+        assert "spatial" not in tuple(s for s in spec if s)
+        # divisible H keeps the spatial sharding
+        batch33 = tuple(np.zeros((2, 33, 32, c), np.float32)
+                        for c in (3, 1, 3))
+        placed33 = tr._place(batch33)
+        assert "spatial" in tuple(
+            s for s in placed33[0].sharding.spec if s)
