@@ -237,3 +237,43 @@ class TestPlaceDivisibilityGuard:
         placed33 = tr._place(batch33)
         assert "spatial" in tuple(
             s for s in placed33[0].sharding.spec if s)
+
+
+class TestSpatialShardingWithFusedDecoder:
+    """The eval-mode phase-affine d2s fast path (models/mnet.py::_Up,
+    active when a decoder layer's area >= 4500) must stay correct under
+    GSPMD spatial row sharding — the reshape/slice pattern of the
+    deferred depth-to-space partitions differently from the plain one."""
+
+    def test_row_sharded_forward_matches_single_device_large(self):
+        from shadow_removal_istd_tpu.engine import (
+            TrainConfig,
+            build_models,
+            init_state,
+            make_infer_step,
+        )
+        from shadow_removal_istd_tpu.parallel import (
+            make_mesh_2d,
+            shard_images,
+            shard_state,
+        )
+
+        # H*W = 128*160 = 20480 >= 4500: outer decoder layers take the
+        # fused path, like real full-resolution inference does
+        cfg = TrainConfig(ngf=8, ndf=8, image_size=128,
+                          use_visual_loss=False, droprate=0.0)
+        models = build_models(cfg)
+        state = init_state(jax.random.key(0), cfg, models)
+        infer = make_infer_step(models)
+        x = np.asarray(jax.random.uniform(
+            jax.random.key(1), (2, 128, 160, 3))) * 2 - 1
+        m_ref, y_ref = jax.device_get(
+            infer(state.g_params, state.batch_stats, jnp.asarray(x)))
+
+        mesh = make_mesh_2d(2, 4)
+        st = shard_state(mesh, state)
+        xb = shard_images(mesh, (jnp.asarray(x),))[0]
+        m_sh, y_sh = jax.device_get(
+            infer(st.g_params, st.batch_stats, xb))
+        np.testing.assert_allclose(m_sh, m_ref, atol=2e-5)
+        np.testing.assert_allclose(y_sh, y_ref, atol=2e-5)
