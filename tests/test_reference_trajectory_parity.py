@@ -114,8 +114,11 @@ def _make_batches(n_steps, np_dtype):
     return batches
 
 
-def _torch_step(nets, optims, adv_loss, data_loss, cfg, batch):
-    """One reference training batch (src/cgan.py:275-360), non-BEGAN."""
+def _torch_step(nets, optims, adv_loss, data_loss, cfg, batch,
+                kstate=None):
+    """One reference training batch (src/cgan.py:275-360); ``kstate``
+    is the mutable BEGAN k-balance dict {"k1","k2"} (src/cgan.py:
+    290-297, 352-360) when cfg.began."""
     tG1, tG2, tD1, tD2 = nets
     optim_G, optim_D = optims
     x, mt, y = batch
@@ -133,8 +136,16 @@ def _torch_step(nets, optims, adv_loss, data_loss, cfg, batch):
     C2_real = tD2(torch.cat((tx, tm, ty), dim=1))
     y_pred = tG2(torch.cat((tx, m_pred), dim=1))
     C2_fake = tD2(torch.cat((tx, m_pred.detach(), y_pred.detach()), dim=1))
-    D1_loss = adv_loss(C1_real, C1_fake, D_loss=True)
-    D2_loss = adv_loss(C2_real, C2_fake, D_loss=True)
+    if cfg.began:
+        D1_real = data_loss(C1_real, tm.detach())
+        D1_fake = data_loss(C1_fake, m_pred.detach())
+        D1_loss = D1_real - kstate["k1"] * D1_fake
+        D2_real = data_loss(C2_real, ty.detach())
+        D2_fake = data_loss(C2_fake, y_pred.detach())
+        D2_loss = D2_real - kstate["k2"] * D2_fake
+    else:
+        D1_loss = adv_loss(C1_real, C1_fake, D_loss=True)
+        D2_loss = adv_loss(C2_real, C2_fake, D_loss=True)
     D_loss = cfg.lambda2 * D1_loss + cfg.lambda3 * D2_loss
     D_loss.backward()
     optim_D.step()
@@ -146,21 +157,37 @@ def _torch_step(nets, optims, adv_loss, data_loss, cfg, batch):
     C1_fake = tD1(torch.cat((tx, m_pred), dim=1))
     C2_real = tD2(torch.cat((tx, tm, ty), dim=1))
     C2_fake = tD2(torch.cat((tx, m_pred, y_pred), dim=1))
-    G1_loss = adv_loss(C1_real, C1_fake, D_loss=False)
-    G2_loss = adv_loss(C2_real, C2_fake, D_loss=False)
+    if cfg.began:
+        G1_loss = data_loss(C1_fake, m_pred.detach())
+        G2_loss = data_loss(C2_fake, y_pred.detach())
+    else:
+        G1_loss = adv_loss(C1_real, C1_fake, D_loss=False)
+        G2_loss = adv_loss(C2_real, C2_fake, D_loss=False)
     data1_loss = data_loss(m_pred, tm)
     data2_loss = data_loss(y_pred, ty)
     G_loss = (data1_loss + cfg.lambda1 * data2_loss +
               cfg.lambda2 * G1_loss + cfg.lambda3 * G2_loss)
     G_loss.backward()
     optim_G.step()
+    if cfg.began:
+        gamma, lambda_k = 0.7, 0.001  # src/cgan.py:171-172
+        kstate["k1"] = float(np.clip(
+            kstate["k1"] + lambda_k * (gamma * D1_real.detach().item()
+                                       - D1_fake.detach().item()), 0, 1))
+        kstate["k2"] = float(np.clip(
+            kstate["k2"] + lambda_k * (gamma * D2_real.detach().item()
+                                       - D2_fake.detach().item()), 0, 1))
     return {"D": D_loss.detach().item(), "G": G_loss.detach().item(),
             "data1": data1_loss.detach().item(),
             "data2": data2_loss.detach().item()}
 
 
+K_INIT = 0.3  # nonzero so the BEGAN balance term bites from step 0
+
+
 def _run_trajectories(adam_eps, n_epochs, lr_schedule="exponential",
-                      plateau_kw=None, x64=True):
+                      plateau_kw=None, x64=True,
+                      net_d="patchgan", d_type="normal"):
     """Run both frameworks over the same batch sequence.
 
     Returns (per-step torch losses, per-step jax losses, per-epoch
@@ -169,7 +196,7 @@ def _run_trajectories(adam_eps, n_epochs, lr_schedule="exponential",
     the jax side under enable_x64 with f64 params/batches.
     """
     np_dtype = np.float64 if x64 else np.float32
-    cfg = TrainConfig(net_d="patchgan", d_type="normal", ngf=NGF, ndf=NDF,
+    cfg = TrainConfig(net_d=net_d, d_type=d_type, ngf=NGF, ndf=NDF,
                       droprate=0.0, image_size=SIZE, batch_size=B,
                       adam_eps=adam_eps, use_visual_loss=False,
                       lambda4=0.0, lambda5=0.0, decay=DECAY,
@@ -204,8 +231,9 @@ def _run_trajectories(adam_eps, n_epochs, lr_schedule="exponential",
         sched_D = torch.optim.lr_scheduler.ReduceLROnPlateau(
             optim_D, mode="min", **plateau_kw)
     adv = AdversarialLoss(ls=(cfg.d_loss_fn == "leastsqure"),  # [sic]
-                          rel=False, avg=False)
+                          rel=("rel" in d_type), avg=("avg" in d_type))
     dl = DataLoss()
+    kstate = {"k1": K_INIT, "k2": K_INIT} if cfg.began else None
 
     # ---- jax side ---------------------------------------------------
     x0, mt0, y0 = batches[0]
@@ -219,13 +247,15 @@ def _run_trajectories(adam_eps, n_epochs, lr_schedule="exponential",
     vd1 = torch_to_flax_variables(tD1, models.d1, xm0)
     vd2 = torch_to_flax_variables(tD2, models.d2, xmy0)
     state = init_state(jax.random.key(0), cfg, models)
+    kdt = jnp.float64 if x64 else jnp.float32
     state = state.replace(
         g_params={"g1": vg1["params"], "g2": vg2["params"]},
         d_params={"d1": vd1["params"], "d2": vd2["params"]},
         batch_stats={"g1": vg1.get("batch_stats", {}),
                      "g2": vg2.get("batch_stats", {}),
                      "d1": vd1.get("batch_stats", {}),
-                     "d2": vd2.get("batch_stats", {})})
+                     "d2": vd2.get("batch_stats", {})},
+        k1=jnp.asarray(K_INIT, kdt), k2=jnp.asarray(K_INIT, kdt))
     tx_g, tx_d = make_optimizers(cfg)
     state = state.replace(opt_g=tx_g.init(state.g_params),
                           opt_d=tx_d.init(state.d_params))
@@ -247,7 +277,7 @@ def _run_trajectories(adam_eps, n_epochs, lr_schedule="exponential",
             for s in range(STEPS_PER_EPOCH):
                 batch = batches[epoch * STEPS_PER_EPOCH + s]
                 tm = _torch_step(nets, (optim_G, optim_D), adv, dl, cfg,
-                                 batch)
+                                 batch, kstate)
                 torch_losses.append(tm)
                 t_epoch_G += tm["G"]
                 t_epoch_D += tm["D"]
@@ -275,7 +305,7 @@ def _run_trajectories(adam_eps, n_epochs, lr_schedule="exponential",
                 j_plat_g.step(j_epoch_G)
                 j_plat_d.step(j_epoch_D)
     return (torch_losses, jax_losses, torch_lrs, jax_lrs, nets, state,
-            models, batches)
+            models, batches, kstate)
 
 
 import contextlib
@@ -307,7 +337,7 @@ def test_trajectory_parity_f64():
     n_epochs = 3
     with enable_x64():
         (t_losses, j_losses, t_lrs, j_lrs, nets, state, models,
-         batches) = _run_trajectories(1e-3, n_epochs)
+         batches, _) = _run_trajectories(1e-3, n_epochs)
 
         _assert_lrs_equal(t_lrs, j_lrs)
         assert abs(t_lrs[0] - 5e-4) < 1e-12
@@ -398,3 +428,42 @@ def test_trajectory_parity_plateau_schedule():
             for k in ("D", "G"):
                 assert abs(tm[k] - jm[k]) < 1e-7, \
                     f"step {t} {k}: {tm[k]} vs {jm[k]}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("d_type", ["rel", "rel_avg"])
+def test_trajectory_parity_relativistic_variants_f64(d_type):
+    """The relativistic and relativistic-average adversarial flavours
+    (reference src/loss.py:59-112) composed over 2 epochs in f64 —
+    single-step parity for these variants exists; this pins their
+    multi-step composition (the D-then-G interleaving feeds back
+    differently when losses couple real and fake scores)."""
+    with enable_x64():
+        (t_losses, j_losses, t_lrs, j_lrs, *_) = _run_trajectories(
+            1e-3, 2, d_type=d_type)
+        _assert_lrs_equal(t_lrs, j_lrs)
+        for t, (tm, jm) in enumerate(zip(t_losses, j_losses)):
+            for k in LOSS_KEYS:
+                assert abs(tm[k] - jm[k]) < 1e-8, \
+                    f"{d_type} step {t} {k}: {tm[k]} vs {jm[k]}"
+
+
+@pytest.mark.slow
+def test_trajectory_parity_began_k_evolution_f64():
+    """BEGAN k-balance is per-step mutable state (src/cgan.py:290-297,
+    352-360): k_t feeds D-loss_t which feeds k_{t+1}. One-step parity
+    cannot see a drifting k recurrence; 2 epochs in f64 locks the whole
+    k trajectory (via the loss curves it multiplies into) and the final
+    k values."""
+    with enable_x64():
+        (t_losses, j_losses, t_lrs, j_lrs, nets, state, models,
+         batches, kstate) = _run_trajectories(1e-3, 2, net_d="began")
+        _assert_lrs_equal(t_lrs, j_lrs)
+        for t, (tm, jm) in enumerate(zip(t_losses, j_losses)):
+            for k in LOSS_KEYS:
+                assert abs(tm[k] - jm[k]) < 1e-8, \
+                    f"began step {t} {k}: {tm[k]} vs {jm[k]}"
+        assert abs(float(state.k1) - kstate["k1"]) < 1e-10
+        assert abs(float(state.k2) - kstate["k2"]) < 1e-10
+        # the recurrence actually moved k (test isn't vacuous)
+        assert abs(kstate["k1"] - 0.3) > 1e-6
