@@ -55,6 +55,68 @@ os._exit(0)
 """
 
 
+TRAIN_WORKER = """
+import sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from shadow_removal_istd_tpu.parallel.mesh import (
+    DATA_AXIS, batch_sharding, distributed_init, make_mesh,
+    replicated_sharding)
+
+pid = int(sys.argv[1])
+distributed_init("127.0.0.1:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+
+from shadow_removal_istd_tpu.engine import (
+    TrainConfig, build_models, init_state, make_train_step)
+
+SIZE, B_LOCAL = 32, 2
+cfg = TrainConfig(ngf=4, ndf=4, image_size=SIZE, batch_size=4,
+                  use_visual_loss=False, droprate=0.0)
+models = build_models(cfg)
+# same key on both processes -> identical replicated params
+state = init_state(jax.random.key(0), cfg, models)
+mesh = make_mesh()  # all global devices (2 procs x local)
+rep = replicated_sharding(mesh)
+state = jax.tree.map(lambda a: jax.make_array_from_callback(
+    a.shape, rep, lambda idx: np.asarray(a)[idx]), state)
+
+# each process contributes ITS OWN half of the global batch
+rng = np.random.default_rng(100 + pid)
+local = tuple(
+    (rng.random((B_LOCAL, SIZE, SIZE, c), np.float32) * 2 - 1)
+    for c in (3, 1, 3))
+sh = batch_sharding(mesh)
+batch = tuple(jax.make_array_from_process_local_data(sh, a)
+              for a in local)
+assert batch[0].shape[0] == 2 * B_LOCAL  # global batch spans processes
+
+step = make_train_step(models, cfg)
+state, metrics = step(state, batch, jax.random.key(7))
+vals = {{k: float(v) for k, v in jax.device_get(metrics).items()}}
+for k in ("G", "D", "data1", "data2"):
+    assert np.isfinite(vals[k]), (k, vals[k])
+# the psum'd metrics must be identical on both processes (grads were
+# all-reduced over DCN, so the update -- and the losses computed from
+# the globally-sharded batch -- agree bit-for-bit)
+from jax.experimental import multihost_utils
+both = np.asarray(multihost_utils.process_allgather(
+    np.asarray([vals["G"], vals["D"]], np.float64)))
+np.testing.assert_array_equal(both[0], both[1])
+print("DIST_TRAIN_OK", pid, vals["G"], flush=True)
+multihost_utils.sync_global_devices("train-smoke-done")
+try:
+    jax.distributed.shutdown()
+except Exception:
+    pass
+import os
+os._exit(0)
+"""
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -95,3 +157,43 @@ def test_two_process_collective_smoke(tmp_path):
         raise AssertionError(f"distributed smoke failed:\n{combined}")
     assert "DISTRIBUTED_OK 0" in combined
     assert "DISTRIBUTED_OK 1" in combined
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_train_step(tmp_path):
+    """Full data-parallel TRAINING step across two OS processes: each
+    contributes its local half of the global batch, GSPMD inserts the
+    gradient all-reduce over the process boundary, and both processes
+    end with identical psum'd metrics — the multi-host analogue of the
+    in-process mesh tests in tests/test_parallel.py."""
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    script = TRAIN_WORKER.format(repo=REPO, port=port)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(pid)],
+                         stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True, env=env)
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed rendezvous timed out on this platform")
+    combined = "\n".join(outs)
+    if any(p.returncode != 0 for p in procs):
+        lowered = combined.lower()
+        if ("unimplemented" in lowered or "not supported" in lowered
+                or "unavailable" in lowered):
+            pytest.skip(
+                f"multi-process CPU collectives unsupported: "
+                f"{combined[-500:]}")
+        raise AssertionError(
+            f"distributed train smoke failed:\n{combined[-3000:]}")
+    assert "DIST_TRAIN_OK 0" in combined
+    assert "DIST_TRAIN_OK 1" in combined
