@@ -258,19 +258,22 @@ class TestSpatialShardingWithFusedDecoder:
             shard_state,
         )
 
-        # H*W = 128*160 = 20480 >= 4500: outer decoder layers take the
-        # fused path, like real full-resolution inference does
-        cfg = TrainConfig(ngf=8, ndf=8, image_size=128,
+        # At image 256x320 the outermost _Up runs at 64x80 = 5120 >=
+        # 4500, so the fused phase-affine path is ACTIVE (the gate sees
+        # the decoder layer's input area = image area / 16), matching
+        # real full-resolution inference (480x640 -> 120x160); H must
+        # also divide by 32 (MNet depth)
+        cfg = TrainConfig(ngf=8, ndf=8, image_size=256,
                           use_visual_loss=False, droprate=0.0)
         models = build_models(cfg)
         state = init_state(jax.random.key(0), cfg, models)
         infer = make_infer_step(models)
         x = np.asarray(jax.random.uniform(
-            jax.random.key(1), (2, 128, 160, 3))) * 2 - 1
+            jax.random.key(1), (2, 256, 320, 3))) * 2 - 1
         m_ref, y_ref = jax.device_get(
             infer(state.g_params, state.batch_stats, jnp.asarray(x)))
 
-        mesh = make_mesh_2d(2, 4)
+        mesh = make_mesh_2d(2, 4)  # spatial=4 divides H=256
         st = shard_state(mesh, state)
         xb = shard_images(mesh, (jnp.asarray(x),))[0]
         m_sh, y_sh = jax.device_get(

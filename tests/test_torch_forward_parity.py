@@ -194,3 +194,17 @@ def test_load_torch_checkpoint_file(tmp_path):
     with jax.default_matmul_precision("highest"):
         fy = fm.apply(v, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(fy), ty.numpy(), atol=ATOL)
+
+
+def test_mnet_large_fused_decoder_path():
+    """MNet eval at 256x320: the outermost decoder layer's input area
+    (64x80 = 5120) crosses the phase-affine fast-path gate
+    (models/mnet.py::_Up), so this compares the FUSED eval path (BN
+    affine on phase channels before depth-to-space) directly against
+    torch — the 32x32 test above never reaches it."""
+    tm = rn.get_generator("mnet", in_channels=3, out_channels=1, ngf=4,
+                          drop_rate=0.0, no_conv_t=True,
+                          use_selu=False, activation="tanh")
+    fm = get_generator("mnet", in_channels=3, out_channels=1, ngf=4,
+                       no_conv_t=True, activation="tanh")
+    _assert_forward_parity(tm, fm, _x((1, 256, 320, 3)))
