@@ -288,6 +288,7 @@ def main(argv=None):
         "rmse_shadow_torch": round(res_torch["rmse"], 4),
         "rmse_shadow_jax": round(res_jax["rmse"], 4),
         "rmse_all_untrained_input": round(res_input["rmse_all"], 4),
+        "rmse_shadow_untrained_input": round(res_input["rmse"], 4),
         "relative_gap": round(gap, 4),
         "train_s_torch_cpu": round(t_torch, 1),
         "train_s_jax": round(t_jax, 1),

@@ -241,13 +241,25 @@ class Trainer:
         # matte); loaded separately for the validation split when the
         # training streams don't already include it
         self._valid_masks = None
-        if (run.eval_metrics and "mask" not in self.cfg.train_datas
-                and run.data_dirs and not run.data_h5):
-            parts = []
-            for d in run.data_dirs:
-                ds = ISTDDataset(d, "test", datas=("mask",))
-                parts.append(ds.load_all()["mask"])
-            self._valid_masks = np.concatenate(parts)
+        if run.eval_metrics and "mask" not in self.cfg.train_datas:
+            if run.data_h5:
+                from shadow_removal_istd_tpu.data.h5 import ISTDH5Dataset
+                try:
+                    self._valid_masks = ISTDH5Dataset(
+                        run.data_h5, "test").load_streams(
+                            ("mask",))["mask"]
+                except KeyError:
+                    # reference-layout h5 (no mask dataset): proxy path
+                    logger.warning(
+                        "--eval-metrics: HDF5 file carries no mask "
+                        "stream; Eval scalars fall back to the matte "
+                        "proxy (tagged EvalProxy/*)")
+            elif run.data_dirs:
+                parts = []
+                for d in run.data_dirs:
+                    ds = ISTDDataset(d, "test", datas=("mask",))
+                    parts.append(ds.load_all()["mask"])
+                self._valid_masks = np.concatenate(parts)
 
     # ------------------------------------------------------------ data
     def _load_h5(self):

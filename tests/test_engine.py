@@ -235,3 +235,25 @@ class TestEvalMetricsProtocol:
             size=(2, SIZE, SIZE, 1)).astype(np.float32))
         got = np.asarray(tr._protocol_mask(m, 0, 2))
         np.testing.assert_array_equal(got, np.asarray(m)[..., 0] > 0.0)
+
+    def test_h5_mask_stream_feeds_eval_protocol(self, tmp_path):
+        import pytest as _pytest
+        _pytest.importorskip("h5py")
+        from shadow_removal_istd_tpu.data.h5 import build_h5
+        from shadow_removal_istd_tpu.data.synthetic import (
+            write_istd_layout,
+        )
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        root = str(tmp_path / "ISTD")
+        write_istd_layout(root, n_train=4, n_test=2, h=64, w=64)
+        h5_path = str(tmp_path / "istd.h5")
+        build_h5(h5_path, root)
+        cfg = tiny_cfg(lambda4=0.0, lambda5=0.0, batch_size=2,
+                       image_size=32)
+        run = RunConfig(data_h5=h5_path, eval_metrics=True,
+                        logs_dir=str(tmp_path / "logs"),
+                        weights_dir=str(tmp_path / "w"))
+        tr = Trainer(cfg, run)
+        assert tr._valid_masks is not None
+        assert tr._has_protocol_masks()
+        assert np.isfinite(tr.run_valid_epoch(0))
