@@ -101,3 +101,29 @@ class TestExport:
         m, y = exported.call(x)
         assert np.isfinite(np.asarray(m)).all()
         assert np.isfinite(np.asarray(y)).all()
+
+
+class TestExportGatedFusedPath:
+    def test_roundtrip_at_gated_resolution(self, tmp_path):
+        """Export at 256x320 — above the phase-affine fast-path area
+        gate (models/mnet.py::_Up), like the default 480x640 serving
+        shape — and check the artifact reproduces the direct apply."""
+        cfg = TrainConfig(ngf=4, ndf=4, image_size=32, batch_size=1,
+                          use_visual_loss=False, droprate=0.0,
+                          steps_per_epoch=1)
+        models = build_models(cfg)
+        state = init_state(jax.random.key(0), cfg, models)
+        path = str(tmp_path / "model_big.shlo")
+        export_stacked_inference(path, state, models,
+                                 image_shape=(256, 320), batch_size=1,
+                                 platforms=("cpu",))
+        run = load_exported(path)
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            -1, 1, (1, 256, 320, 3)).astype(np.float32))
+        m, y = run(x)
+        infer = make_infer_step(models)
+        m_ref, y_ref = infer(state.g_params, state.batch_stats, x)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-5)
