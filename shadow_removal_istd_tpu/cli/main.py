@@ -129,6 +129,11 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"],
                         help="bfloat16 = mixed-precision training "
                              "(f32 params/BN/losses)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize the train step "
+                             "(jax.checkpoint): ~+1 forward per phase "
+                             "for far lower activation HBM — enables "
+                             "larger/full-resolution training batches")
     parser.add_argument("--device-cache", type=str2bool, default=True,
                         const=True, nargs="?",
                         help="keep the dataset in HBM and run whole "
@@ -310,6 +315,7 @@ def main(args) -> None:
         use_visual_loss=True,  # Trainer warns+disables if no weights
         compute_dtype=args.compute_dtype,
         aug_method=args.aug_method,
+        remat=args.remat,
     )
     run = RunConfig(
         data_dirs=tuple(args.data_dir), data_h5=args.data_h5,

@@ -63,6 +63,10 @@ class TrainConfig:
     train_datas: tuple = ("img", "target", "matte")  # stream selection
 
     # runtime
+    remat: bool = False  # jax.checkpoint the train-step phases: trade
+    # ~one extra forward per phase for not storing activations across
+    # the backward — unlocks larger/full-resolution training batches
+    # (HBM is the binding resource; see README perf notes)
     steps_per_epoch: int = 1      # for the per-epoch lr decay schedule
     use_visual_loss: bool = True  # needs VGG variables
     compute_dtype: str = "float32"  # "bfloat16" = mixed precision:

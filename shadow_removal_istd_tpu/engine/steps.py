@@ -105,6 +105,11 @@ def _unjitted_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
                                   _cat(x, m_pred), train=True, rng=kg2)
             return (m_pred, y_pred), {"g1": s_g1, "g2": s_g2}
 
+        if cfg.remat:
+            # rematerialize: store only the inputs across the backward
+            # and recompute the forward during the pullback — HBM for
+            # FLOPs, the lever that admits full-resolution batches
+            g_forward = jax.checkpoint(g_forward)
         (m_pred0, y_pred0), g_vjp, g_stats = jax.vjp(
             g_forward, state.g_params, has_aux=True)
         m_sg = jax.lax.stop_gradient(m_pred0)
@@ -142,6 +147,8 @@ def _unjitted_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
             }
             return d_total, aux
 
+        if cfg.remat:
+            d_loss_fn = jax.checkpoint(d_loss_fn)
         (_, d_aux), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d_params)
         d_updates, opt_d = tx_d.update(d_grads, state.opt_d, state.d_params)
@@ -199,6 +206,8 @@ def _unjitted_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
             }
             return g_total, aux
 
+        if cfg.remat:
+            g_loss_fn = jax.checkpoint(g_loss_fn)
         (_, g_aux), pred_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)((m_pred0, y_pred0))
         (g_grads,) = g_vjp(pred_grads)

@@ -53,6 +53,12 @@ class TestFlagSurface:
         assert args.net_G == "mnet" and args.net_D == "patchgan"
         assert args.activation == "tanh"
 
+    def test_remat_flag(self):
+        parser = build_parser()
+        assert parser.parse_args(["--tasks", "train"]).remat is False
+        assert parser.parse_args(["--tasks", "train",
+                                  "--remat"]).remat is True
+
     def test_str2bool(self):
         assert str2bool("yes") and str2bool("True") and str2bool("1")
         assert not str2bool("no") and not str2bool("0")

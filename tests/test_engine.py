@@ -257,3 +257,40 @@ class TestEvalMetricsProtocol:
         assert tr._valid_masks is not None
         assert tr._has_protocol_masks()
         assert np.isfinite(tr.run_valid_epoch(0))
+
+
+class TestRemat:
+    """--remat (jax.checkpoint around the step phases) must change
+    memory behavior only — the math is identical."""
+
+    def test_remat_step_matches_plain_step(self):
+        # smoothed Adam eps: at the default 1e-8 the first update is
+        # ~lr*sign(g), so remat's fp reassociation flips near-zero
+        # gradient signs into 2*lr param noise (same rationale as the
+        # reference-parity suites); eps=1e-3 isolates real differences
+        cfg = tiny_cfg(lambda4=0.0, lambda5=0.0, adam_eps=1e-3)
+        cfg_r = tiny_cfg(lambda4=0.0, lambda5=0.0, adam_eps=1e-3,
+                         remat=True)
+        batch = make_batch()
+        k = jax.random.key(3)
+        # the jitted step donates the state buffer — build a fresh
+        # (identical, same-key) state for each run
+        models, state = setup(cfg)
+        plain = make_train_step(models, cfg)(state, batch, k)
+        models_r, state_r = setup(cfg)
+        remat = make_train_step(models_r, cfg_r)(state_r, batch, k)
+        for (s1, m1), (s2, m2) in [(plain, remat)]:
+            for key in ("G", "D", "data1", "data2"):
+                np.testing.assert_allclose(
+                    float(m1[key]), float(m2[key]), atol=1e-6, rtol=1e-6)
+            # the remat graph refuses differently, so recomputed
+            # activations reassociate at fp32 round-off; a real
+            # semantic difference would show at the O(lr)=5e-4 level
+            for a, b in zip(jax.tree.leaves(s1.g_params),
+                            jax.tree.leaves(s2.g_params)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=5e-6)
+            for a, b in zip(jax.tree.leaves(s1.d_params),
+                            jax.tree.leaves(s2.d_params)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=5e-6)
