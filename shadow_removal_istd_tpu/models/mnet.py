@@ -92,6 +92,16 @@ class MNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        # stem + depth strided halvings, each undone by a 2x upsample:
+        # any indivisible dim desyncs a skip concat deep in the net
+        # with a cryptic shape error — fail early with the real rule
+        div = 2 ** (self.depth + 1)
+        if x.shape[1] % div or x.shape[2] % div:
+            raise ValueError(
+                f"MNet(depth={self.depth}) needs H and W divisible by "
+                f"{div}; got {x.shape[1]}x{x.shape[2]}. Pad or resize "
+                "the input (ISTD's 480x640 divides; the pix2pix "
+                "'stcgan' generator handles odd sizes natively).")
         if self.dtype is not None:
             x = x.astype(self.dtype)
         ngf, d = self.ngf, self.depth

@@ -47,6 +47,15 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        # depth maxpool halvings, each undone by a 2x upsample: fail
+        # early on indivisible sizes instead of a deep concat error
+        div = 2 ** self.depth
+        if x.shape[1] % div or x.shape[2] % div:
+            raise ValueError(
+                f"UNet(depth={self.depth}) needs H and W divisible by "
+                f"{div}; got {x.shape[1]}x{x.shape[2]}. Pad or resize "
+                "the input (the pix2pix 'stcgan' generator handles odd "
+                "sizes natively).")
         if self.dtype is not None:
             x = x.astype(self.dtype)
         ngf, d = self.ngf, self.depth

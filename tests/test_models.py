@@ -253,3 +253,24 @@ class TestFlopCounter:
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         got = count_flops(tconv, x, k)
         assert got == 2 * (1 * 16 * 16 * 6) * (4 * 4 * 4) / 4
+
+
+class TestSizeDivisibilityErrors:
+    """Indivisible input sizes must fail with the real rule up front,
+    not a cryptic skip-concat shape error deep in the net."""
+
+    def test_mnet_clear_error(self):
+        import jax
+        from shadow_removal_istd_tpu.models import get_generator
+        m = get_generator("mnet", in_channels=3, out_channels=1, ngf=4)
+        with pytest.raises(ValueError, match="divisible by 32"):
+            m.init({"params": jax.random.key(0)},
+                   jnp.zeros((1, 48, 64, 3)))
+
+    def test_unet_clear_error(self):
+        import jax
+        from shadow_removal_istd_tpu.models import get_generator
+        m = get_generator("unet", in_channels=3, out_channels=1, ngf=4)
+        with pytest.raises(ValueError, match="divisible by 16"):
+            m.init({"params": jax.random.key(0)},
+                   jnp.zeros((1, 24, 32, 3)))
