@@ -89,6 +89,14 @@ class DenseUNet(nn.Module):
     def __call__(self, x, *, train: bool = False):
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        # depth avgpool halvings, each undone by a 2x transition-up
+        div = 2 ** self.depth
+        if x.shape[1] % div or x.shape[2] % div:
+            raise ValueError(
+                f"DenseUNet(depth={self.depth}) needs H and W divisible "
+                f"by {div}; got {x.shape[1]}x{x.shape[2]}. Pad or resize "
+                "the input (the pix2pix 'stcgan' generator handles odd "
+                "sizes natively).")
         ngf = self.ngf
         growth = ngf // self.n_composite  # reference denseunet.py:34-36
         nlayers = self.n_composite

@@ -267,6 +267,15 @@ class TestSizeDivisibilityErrors:
             m.init({"params": jax.random.key(0)},
                    jnp.zeros((1, 48, 64, 3)))
 
+    def test_denseunet_clear_error(self):
+        import jax
+        from shadow_removal_istd_tpu.models import get_generator
+        m = get_generator("denseunet", in_channels=3, out_channels=1,
+                          ngf=8)
+        with pytest.raises(ValueError, match="divisible by 32"):
+            m.init({"params": jax.random.key(0)},
+                   jnp.zeros((1, 48, 64, 3)))
+
     def test_unet_clear_error(self):
         import jax
         from shadow_removal_istd_tpu.models import get_generator
