@@ -40,6 +40,7 @@ from flax import linen as nn
 from shadow_removal_istd_tpu.models import layers as L
 
 __all__ = [
+    "flax_variables_to_torch",
     "flax_layer_order",
     "torch_layer_order",
     "torch_to_flax_variables",
@@ -237,3 +238,87 @@ def load_torch_checkpoint(state_dict_path, torch_model, flax_model,
     torch_model.load_state_dict(state)
     return torch_to_flax_variables(torch_model, flax_model, *example_args,
                                    method_kwargs=method_kwargs)
+
+
+def _get_path(tree: dict, path: tuple[str, ...]) -> dict:
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def flax_variables_to_torch(variables, flax_model, torch_model,
+                            *example_args, method_kwargs=None):
+    """Copy flax variables INTO ``torch_model`` (the exact inverse of
+    :func:`torch_to_flax_variables`).
+
+    Lets weights trained in this framework run under the torch
+    reference — checkpoint interop in BOTH directions. Same
+    execution-order structural mapping and shape checks; layout
+    transforms are the inverses of the forward direction (flax conv
+    kernel HWIO -> torch OIHW; flax deconv kernel un-flipped back to
+    torch's convolving IOHW; BN scale/bias + batch_stats -> torch
+    weight/bias/running stats). Modifies ``torch_model`` in place and
+    returns it.
+    """
+    import torch
+
+    f_order = flax_layer_order(flax_model, *example_args,
+                               method_kwargs=method_kwargs)
+    p = next(torch_model.parameters(), None)
+    t_dtype = p.dtype if p is not None else torch.float32
+    t_args = [
+        torch.zeros(tuple(np.shape(a)), dtype=t_dtype)
+        .permute(0, 3, 1, 2)
+        for a in example_args
+    ]
+    t_mods, t_kinds = torch_layer_order(torch_model, *t_args)
+    f_kinds = [k for _, k in f_order]
+    if f_kinds != t_kinds:
+        raise ValueError(
+            "layer sequences differ:\n"
+            f"  flax : {f_kinds}\n  torch: {t_kinds}")
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def _copy(dst, value):
+        value = np.asarray(value)
+        if tuple(dst.shape) != tuple(value.shape):
+            raise ValueError(
+                f"shape mismatch: torch {tuple(dst.shape)} vs "
+                f"flax-converted {tuple(value.shape)}")
+        dst.copy_(torch.from_numpy(np.ascontiguousarray(value))
+                  .to(dst.dtype))
+
+    with torch.no_grad():
+        for (path, kind), mod in zip(f_order, t_mods):
+            node = _get_path(params, path)
+            if kind == "conv":
+                # HWIO -> OIHW
+                _copy(mod.weight,
+                      np.transpose(np.asarray(node["kernel"]),
+                                   (3, 2, 0, 1)))
+                if mod.bias is not None:
+                    _copy(mod.bias, node["bias"])
+            elif kind == "conv_t":
+                # inverse of transpose(w,(2,3,0,1))[::-1,::-1]:
+                # un-flip spatially, then HWIO -> IOHW
+                k = np.asarray(node["kernel"])[::-1, ::-1]
+                _copy(mod.weight, np.transpose(k, (2, 3, 0, 1)))
+                if mod.bias is not None:
+                    _copy(mod.bias, node["bias"])
+            elif kind == "bn":
+                _copy(mod.weight, node["scale"])
+                _copy(mod.bias, node["bias"])
+                snode = _get_path(stats, path)
+                _copy(mod.running_mean, snode["mean"])
+                _copy(mod.running_var, snode["var"])
+            elif kind == "dense":
+                _copy(mod.weight,
+                      np.transpose(np.asarray(node["kernel"]), (1, 0)))
+                if mod.bias is not None:
+                    _copy(mod.bias, node["bias"])
+            else:  # pragma: no cover
+                raise ValueError(f"unknown kind {kind}")
+    return torch_model

@@ -208,3 +208,70 @@ def test_mnet_large_fused_decoder_path():
     fm = get_generator("mnet", in_channels=3, out_channels=1, ngf=4,
                        no_conv_t=True, activation="tanh")
     _assert_forward_parity(tm, fm, _x((1, 256, 320, 3)))
+
+
+class TestReverseBridge:
+    """flax -> torch export (flax_variables_to_torch): the inverse
+    mapping must round-trip bit-exactly and produce a torch net whose
+    forward matches the flax one."""
+
+    @pytest.mark.parametrize("no_conv_t", [True, False])
+    def test_roundtrip_bit_exact_and_forward_parity(self, no_conv_t):
+        from shadow_removal_istd_tpu.tools.torch_bridge import (
+            flax_variables_to_torch,
+            torch_to_flax_variables,
+        )
+        torch.manual_seed(3)
+        src = rn.get_generator("mnet", in_channels=3, out_channels=1,
+                               ngf=8, drop_rate=0.0, no_conv_t=no_conv_t,
+                               use_selu=False, activation="tanh")
+        rn.weights_init(src)
+        fm = get_generator("mnet", in_channels=3, out_channels=1, ngf=8,
+                           no_conv_t=no_conv_t, activation="tanh")
+        x = _x((2, 32, 32, 3))
+        v = torch_to_flax_variables(src, fm, x)
+
+        # export into a FRESH torch net with different init
+        torch.manual_seed(99)
+        dst = rn.get_generator("mnet", in_channels=3, out_channels=1,
+                               ngf=8, drop_rate=0.0, no_conv_t=no_conv_t,
+                               use_selu=False, activation="tanh")
+        flax_variables_to_torch(v, fm, dst, x)
+        for (ks, ps), (kd, pd) in zip(src.state_dict().items(),
+                                      dst.state_dict().items()):
+            assert ks == kd
+            if ps.dtype.is_floating_point:
+                np.testing.assert_array_equal(ps.numpy(), pd.numpy()), ks
+
+        # forward parity: flax apply == exported torch net
+        dst.eval()
+        with torch.no_grad():
+            ty = dst(torch.tensor(x).permute(0, 3, 1, 2)) \
+                .permute(0, 2, 3, 1).numpy()
+        with jax.default_matmul_precision("highest"):
+            fy = fm.apply(v, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(fy), ty, atol=1e-5)
+
+    def test_discriminator_roundtrip(self):
+        from shadow_removal_istd_tpu.tools.torch_bridge import (
+            flax_variables_to_torch,
+            torch_to_flax_variables,
+        )
+        from shadow_removal_istd_tpu.models import get_discriminator
+        torch.manual_seed(5)
+        src = rn.get_discriminator("patchgan", in_channels=4,
+                                   out_channels=1, ndf=8,
+                                   use_selu=False, use_sigmoid=False)
+        fd = get_discriminator("patchgan", in_channels=4, out_channels=1,
+                               ndf=8, use_sigmoid=False)
+        x = _x((2, 32, 32, 4))
+        v = torch_to_flax_variables(src, fd, x)
+        torch.manual_seed(123)
+        dst = rn.get_discriminator("patchgan", in_channels=4,
+                                   out_channels=1, ndf=8,
+                                   use_selu=False, use_sigmoid=False)
+        flax_variables_to_torch(v, fd, dst, x)
+        for (ks, ps), (kd, pd) in zip(src.state_dict().items(),
+                                      dst.state_dict().items()):
+            if ps.dtype.is_floating_point:
+                np.testing.assert_array_equal(ps.numpy(), pd.numpy()), ks
