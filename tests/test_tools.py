@@ -238,3 +238,55 @@ class TestLoggingUtils:
         logger.info("via tqdm")
         captured = capsys.readouterr()
         assert "via tqdm" in captured.out or "via tqdm" in captured.err
+
+
+class TestExportTorch:
+    def test_checkpoint_to_reference_pt_roundtrip(self, tmp_path):
+        """CLI: checkpoint -> reference-format .pt files; loading one
+        back through the reference model must reproduce the original
+        flax weights exactly."""
+        pytest.importorskip("torch")
+        if not os.path.isdir("/root/reference"):
+            pytest.skip("reference not mounted")
+        import jax
+        from shadow_removal_istd_tpu.engine import (
+            TrainConfig,
+            build_models,
+            init_state,
+        )
+        from shadow_removal_istd_tpu.engine.checkpoint import (
+            save_checkpoint,
+        )
+        from shadow_removal_istd_tpu.tools import export_torch
+        from shadow_removal_istd_tpu.tools.torch_bridge import (
+            load_torch_checkpoint,
+        )
+
+        cfg = TrainConfig(ngf=8, ndf=8, image_size=32, batch_size=1,
+                          use_visual_loss=False, droprate=0.0)
+        models = build_models(cfg)
+        state = init_state(jax.random.key(42), cfg, models)
+        ckpt = str(tmp_path / "checkpoint.msgpack")
+        save_checkpoint(state, ckpt, epoch=0)
+
+        out = str(tmp_path / "torch_w")
+        export_torch.main(["--load-checkpoint", ckpt, "--out-dir", out,
+                           "--reference-path", "/root/reference",
+                           "--ngf", "8", "--ndf", "8",
+                           "--suffix", "best"])
+        files = sorted(os.listdir(out))
+        assert files == ["D1_PatchGAN_best.pt", "D2_PatchGAN_best.pt",
+                         "G1_MNet_best.pt", "G2_MNet_best.pt"]
+
+        # reference-side load of G1, bridged back -> identical weights
+        rn = export_torch._import_reference("/root/reference")
+        tG1 = rn.get_generator("mnet", in_channels=3, out_channels=1,
+                               ngf=8, drop_rate=0.0, no_conv_t=False,
+                               use_selu=False, activation="tanh")
+        x = np.zeros((1, 64, 64, 3), np.float32)
+        v = load_torch_checkpoint(os.path.join(out, "G1_MNet_best.pt"),
+                                  tG1, models.g1, x)
+        import jax as _jax
+        for a, b in zip(_jax.tree.leaves(v["params"]),
+                        _jax.tree.leaves(state.g_params["g1"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
