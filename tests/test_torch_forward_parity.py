@@ -275,3 +275,55 @@ class TestReverseBridge:
                                       dst.state_dict().items()):
             if ps.dtype.is_floating_point:
                 np.testing.assert_array_equal(ps.numpy(), pd.numpy()), ks
+
+    @pytest.mark.parametrize("net,builder_kw,in_ch,out_ch", [
+        ("unet", dict(no_conv_t=True), 3, 1),
+        ("denseunet", dict(no_conv_t=False, activation=None), 3, 1),
+        ("stcgan", dict(), 3, 3),
+    ])
+    def test_generator_zoo_roundtrip(self, net, builder_kw, in_ch, out_ch):
+        from shadow_removal_istd_tpu.tools.torch_bridge import (
+            flax_variables_to_torch,
+            torch_to_flax_variables,
+        )
+        torch.manual_seed(7)
+        tkw = dict(drop_rate=0.0, use_selu=False)
+        tkw.update({k: v for k, v in builder_kw.items()})
+        src = rn.get_generator(net, in_channels=in_ch,
+                               out_channels=out_ch, ngf=8, **tkw)
+        fm = get_generator(net, in_channels=in_ch, out_channels=out_ch,
+                           ngf=8, **builder_kw)
+        x = _x((1, 64, 64, in_ch))
+        v = torch_to_flax_variables(src, fm, x)
+        torch.manual_seed(1000)
+        dst = rn.get_generator(net, in_channels=in_ch,
+                               out_channels=out_ch, ngf=8, **tkw)
+        flax_variables_to_torch(v, fm, dst, x)
+        for (ks, ps), (kd, pd) in zip(src.state_dict().items(),
+                                      dst.state_dict().items()):
+            if ps.dtype.is_floating_point:
+                np.testing.assert_array_equal(ps.numpy(), pd.numpy()), ks
+
+    def test_began_roundtrip(self):
+        from shadow_removal_istd_tpu.models import get_discriminator
+        from shadow_removal_istd_tpu.tools.torch_bridge import (
+            flax_variables_to_torch,
+            torch_to_flax_variables,
+        )
+        torch.manual_seed(11)
+        src = rn.get_discriminator("began", in_channels=4, out_channels=1,
+                                   ndf=8, use_selu=False,
+                                   use_sigmoid=False)
+        fd = get_discriminator("began", in_channels=4, out_channels=1,
+                               ndf=8, use_sigmoid=False)
+        x = _x((1, 32, 32, 4))
+        v = torch_to_flax_variables(src, fd, x)
+        torch.manual_seed(77)
+        dst = rn.get_discriminator("began", in_channels=4, out_channels=1,
+                                   ndf=8, use_selu=False,
+                                   use_sigmoid=False)
+        flax_variables_to_torch(v, fd, dst, x)
+        for (ks, ps), (kd, pd) in zip(src.state_dict().items(),
+                                      dst.state_dict().items()):
+            if ps.dtype.is_floating_point:
+                np.testing.assert_array_equal(ps.numpy(), pd.numpy()), ks
