@@ -31,6 +31,7 @@ class BatchPipeline:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -38,10 +39,18 @@ class BatchPipeline:
             return self.n // self.batch_size
         return -(-self.n // self.batch_size)
 
-    def epoch(self) -> Iterator[tuple[np.ndarray, ...]]:
+    def epoch(self, epoch: int | None = None) \
+            -> Iterator[tuple[np.ndarray, ...]]:
+        """Pass ``epoch`` for RESUME-DETERMINISTIC shuffling: the
+        permutation becomes a pure function of (seed, epoch), so a run
+        resumed from a checkpoint at epoch N sees the same batch order
+        the uninterrupted run saw. Without it the stateful stream is
+        used (reproducible only from epoch 0)."""
         idx = np.arange(self.n)
         if self.shuffle:
-            self._rng.shuffle(idx)
+            rng = (self._rng if epoch is None
+                   else np.random.default_rng((self.seed, epoch)))
+            rng.shuffle(idx)
         stop = (self.n - self.batch_size + 1) if self.drop_last else self.n
         for start in range(0, max(stop, 0), self.batch_size):
             sel = idx[start:start + self.batch_size]

@@ -67,20 +67,33 @@ def load_model_weights(state: TrainState, net: str, path: str) -> TrainState:
     return state.replace(**{group: new_group, "batch_stats": new_stats})
 
 
-def save_checkpoint(state: TrainState, path: str, epoch: int = 0) -> None:
-    """Full training state to one file (msgpack; epoch recorded)."""
+def save_checkpoint(state: TrainState, path: str, epoch: int = 0,
+                    host: dict | None = None) -> None:
+    """Full training state to one file (msgpack; epoch recorded).
+
+    ``host`` carries host-side training state that lives outside the
+    device pytree — the plateau-scheduler state dicts and the running
+    best validation loss. The reference's checkpoint.tar stores its
+    scheduler state dicts the same way (src/cgan.py:490-509) but NOT
+    the best loss, so its resumed runs silently reset best-model
+    selection; here both survive a resume.
+    """
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     payload = {"epoch": epoch, "state": jax.device_get(state)}
+    if host:
+        payload["host"] = host
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(payload))
 
 
-def load_checkpoint(state: TrainState, path: str) -> tuple[TrainState, int]:
-    """Restore a full training state; returns (state, epoch).
+def load_checkpoint(state: TrainState,
+                    path: str) -> tuple[TrainState, int, dict]:
+    """Restore a full training state; returns (state, epoch, host).
 
     Forward-compatible: fields added to TrainState after a checkpoint
     was written (e.g. ``softadapt``) keep their current values instead
-    of failing the restore.
+    of failing the restore; checkpoints written before the ``host``
+    section existed return an empty host dict.
     """
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
@@ -89,7 +102,7 @@ def load_checkpoint(state: TrainState, path: str) -> tuple[TrainState, int]:
     for key, value in target_sd.items():
         saved_sd.setdefault(key, value)
     restored = serialization.from_state_dict(state, saved_sd)
-    return restored, int(raw.get("epoch", 0))
+    return restored, int(raw.get("epoch", 0)), dict(raw.get("host") or {})
 
 
 def save_checkpoint_orbax(state: TrainState, directory: str,

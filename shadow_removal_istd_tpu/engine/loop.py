@@ -108,6 +108,15 @@ class Trainer:
         self.run = run
         self.mesh = mesh
         self.rng = jax.random.PRNGKey(run.seed)
+        # Training randomness (shuffle order, augment draws, dropout) is
+        # a PURE function of (seed, epoch, step) via fold_in from this
+        # base — never of how many times self.rng was split before. A
+        # run resumed from a checkpoint at epoch N therefore sees the
+        # exact randomness the uninterrupted run saw (the reference
+        # cannot: torch RNG state is not in its checkpoint.tar,
+        # src/cgan.py:490-509). fold_in(1) domain-separates from the
+        # init-time split() chain of self.rng.
+        self._epoch_base = jax.random.fold_in(self.rng, 1)
 
         if train_streams is None and run.data_h5:
             train_streams, valid_streams, valid_names = self._load_h5()
@@ -398,8 +407,10 @@ class Trainer:
         vis_batch = None
         scale_g = self.plateau_g.scale if self.plateau_g else 1.0
         scale_d = self.plateau_d.scale if self.plateau_d else 1.0
-        for raw in self.train_pipe.epoch():
-            self.rng, k_aug, k_step = jax.random.split(self.rng, 3)
+        ekey = jax.random.fold_in(self._epoch_base, epoch)
+        for step, raw in enumerate(self.train_pipe.epoch(epoch)):
+            k_aug, k_step = jax.random.split(
+                jax.random.fold_in(ekey, step))
             batch = self._augment(k_aug, self._place(raw, train=True))
             self.state, metrics = self.train_step(
                 self.state, batch, k_step, scale_g, scale_d)
@@ -430,7 +441,8 @@ class Trainer:
     def _run_train_epoch_fused(self, epoch: int, log_scalars: bool,
                                visualize: bool):
         """One-dispatch epoch over the HBM-resident dataset."""
-        self.rng, k_idx, k_epoch = jax.random.split(self.rng, 3)
+        ekey = jax.random.fold_in(self._epoch_base, epoch)
+        k_idx, k_epoch = jax.random.split(ekey)
         idx = self._cache.epoch_indices(k_idx, self.cfg.batch_size)
         n = idx.shape[0]
         scale_g = self.plateau_g.scale if self.plateau_g else 1.0
@@ -452,7 +464,9 @@ class Trainer:
                                         self.run.weights_dir, "latest")
         if visualize:
             raw = self._cache.gather(idx[0])
-            self.rng, k_aug = jax.random.split(self.rng)
+            # visualization-only draw; step index 1<<20 cannot collide
+            # with a real step's fold_in
+            k_aug = jax.random.fold_in(ekey, 1 << 20)
             batch = self._augment(k_aug, raw)
             self._log_images("train", epoch, batch)
 
@@ -653,14 +667,24 @@ class Trainer:
 
     # ------------------------------------------------------ checkpoint
     def save(self, epoch: int):
-        ckpt.save_checkpoint(self.state, self.run.checkpoint_path, epoch)
+        host = {"best_loss": self.best_loss}
+        if self.plateau_g is not None:
+            host["plateau_g"] = self.plateau_g.state_dict()
+            host["plateau_d"] = self.plateau_d.state_dict()
+        ckpt.save_checkpoint(self.state, self.run.checkpoint_path, epoch,
+                             host=host)
 
     def load(self, path: str | None = None):
-        self.state, epoch = ckpt.load_checkpoint(
+        self.state, epoch, host = ckpt.load_checkpoint(
             self.state, path or self.run.checkpoint_path)
         if self.mesh is not None:
             self.state = shard_state(self.mesh, self.state)
         self.start_epoch = epoch
+        if "best_loss" in host:
+            self.best_loss = float(host["best_loss"])
+        if self.plateau_g is not None and "plateau_g" in host:
+            self.plateau_g.load_state_dict(host["plateau_g"])
+            self.plateau_d.load_state_dict(host["plateau_d"])
         logger.info("checkpoint loaded (epoch %d)", epoch)
 
     def load_weights(self, g1=None, g2=None, d1=None, d2=None):

@@ -130,7 +130,7 @@ def main(argv=None):
                       use_visual_loss=False, droprate=0.0)
     models = build_models(cfg)
     state = init_state(jax.random.key(0), cfg, models, image_size=32)
-    state, _ = load_checkpoint(state, args.load_checkpoint)
+    state, _, _ = load_checkpoint(state, args.load_checkpoint)
     nbytes = export_stacked_inference(
         args.out, state, models, image_shape=tuple(args.shape),
         batch_size=args.batch, platforms=tuple(args.platforms))

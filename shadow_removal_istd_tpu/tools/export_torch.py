@@ -121,7 +121,7 @@ def main(argv=None):
                       use_visual_loss=False, droprate=0.0)
     models = build_models(cfg)
     state = init_state(jax.random.key(0), cfg, models, image_size=32)
-    state, _ = load_checkpoint(state, args.load_checkpoint)
+    state, _, _ = load_checkpoint(state, args.load_checkpoint)
     written = export_reference_weights(state, models, cfg, args.out_dir,
                                        args.reference_path, args.suffix)
     for p in written:

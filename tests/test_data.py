@@ -77,6 +77,23 @@ class TestBatchPipeline:
         (batch,) = list(pipe.epoch())
         assert sorted(batch[0].ravel().tolist()) == list(range(8))
 
+    def test_epoch_shuffle_is_resume_deterministic(self):
+        """epoch(e) order depends only on (seed, e) — a pipeline that
+        skipped epochs 0..e-1 (resume) must produce the same order as
+        one that iterated them."""
+        data = {"img": np.arange(16, dtype=np.uint8).reshape(16, 1, 1, 1)}
+        a = BatchPipeline(data, batch_size=4, shuffle=True, seed=7)
+        b = BatchPipeline(data, batch_size=4, shuffle=True, seed=7)
+        for e in range(3):
+            order_a = [x[0].ravel().tolist() for x in a.epoch(e)]
+        order_b = [x[0].ravel().tolist() for x in b.epoch(2)]
+        assert order_a == order_b
+        # distinct epochs reshuffle
+        assert order_b != [x[0].ravel().tolist() for x in b.epoch(1)]
+        # and a different seed gives a different stream
+        c = BatchPipeline(data, batch_size=4, shuffle=True, seed=8)
+        assert order_b != [x[0].ravel().tolist() for x in c.epoch(2)]
+
 
 class TestDeviceCache:
     def test_gather_roundtrip(self):

@@ -152,7 +152,7 @@ class TestCheckpoint:
         path = str(tmp_path / "ckpt.msgpack")
         ckpt.save_checkpoint(state, path, epoch=7)
         fresh = init_state(jax.random.key(9), cfg, models)
-        restored, epoch = ckpt.load_checkpoint(fresh, path)
+        restored, epoch, _ = ckpt.load_checkpoint(fresh, path)
         assert epoch == 7
         for a, b in zip(jax.tree.leaves(state.g_params),
                         jax.tree.leaves(restored.g_params)):
@@ -188,6 +188,82 @@ class TestCheckpoint:
             np.allclose(a, b) for a, b in
             zip(jax.tree.leaves(state.g_params["g2"]),
                 jax.tree.leaves(loaded.g_params["g2"])))
+
+
+class TestResumeDeterminism:
+    """A resumed run must replay the uninterrupted run bit-for-bit:
+    shuffle order, augment draws, and dropout keys are pure functions
+    of (seed, epoch, step) — never of how much RNG state the process
+    consumed before — and the checkpoint carries the full train state.
+    (The reference cannot do this: torch RNG state is absent from its
+    checkpoint.tar, src/cgan.py:490-509.)"""
+
+    def _make(self, tmp_path, tag):
+        from shadow_removal_istd_tpu.data.synthetic import (
+            synthetic_triplets,
+        )
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        data = synthetic_triplets(8, SIZE, SIZE)
+        streams = {k: data[k] for k in ("img", "matte", "target")}
+        cfg = tiny_cfg(lambda4=0.0, lambda5=0.0, droprate=0.5)
+        run = RunConfig(logs_dir=str(tmp_path / f"logs{tag}"),
+                        weights_dir=str(tmp_path / f"w{tag}"),
+                        checkpoint_path=str(tmp_path / f"ck{tag}.msgpack"),
+                        valid_every=10**6, save_every=10**6,
+                        log_every=10**6, vis_every=10**6,
+                        preempt_save=False)
+        return Trainer(cfg, run, train_streams=streams), run
+
+    def test_resumed_equals_uninterrupted(self, tmp_path):
+        tr_a, _ = self._make(tmp_path, "a")
+        tr_a.train(3)
+        tr_b, run_b = self._make(tmp_path, "b")
+        tr_b.train(2)
+        tr_b.save(2)
+        tr_c, _ = self._make(tmp_path, "c")
+        tr_c.load(run_b.checkpoint_path)
+        assert tr_c.start_epoch == 2
+        tr_c.train(3)
+        a_leaves = jax.tree.leaves(jax.device_get(
+            (tr_a.state.g_params, tr_a.state.d_params,
+             tr_a.state.batch_stats)))
+        c_leaves = jax.tree.leaves(jax.device_get(
+            (tr_c.state.g_params, tr_c.state.d_params,
+             tr_c.state.batch_stats)))
+        assert len(a_leaves) == len(c_leaves)
+        for a, c in zip(a_leaves, c_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    def test_host_state_survives_resume(self, tmp_path):
+        """best_loss and the plateau controllers ride the checkpoint
+        (the reference stores its scheduler state dicts in
+        checkpoint.tar, src/cgan.py:490-509; it loses best-loss)."""
+        from shadow_removal_istd_tpu.data.synthetic import (
+            synthetic_triplets,
+        )
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        data = synthetic_triplets(4, SIZE, SIZE)
+        streams = {k: data[k] for k in ("img", "matte", "target")}
+        cfg = tiny_cfg(lambda4=0.0, lambda5=0.0, lr_schedule="plateau")
+        run = RunConfig(logs_dir=str(tmp_path / "logs"),
+                        weights_dir=str(tmp_path / "w"),
+                        checkpoint_path=str(tmp_path / "ck.msgpack"),
+                        preempt_save=False)
+        tr = Trainer(cfg, run, train_streams=streams)
+        # drive the controller into a reduced-lr + cooldown regime
+        tr.plateau_g.step(1.0)
+        for _ in range(12):
+            tr.plateau_g.step(2.0)
+        assert tr.plateau_g.scale < 1.0
+        tr.plateau_d.step(3.0)
+        tr.best_loss = 0.125
+        tr.save(9)
+        tr2 = Trainer(cfg, run, train_streams=streams)
+        tr2.load()
+        assert tr2.start_epoch == 9
+        assert tr2.best_loss == 0.125
+        assert tr2.plateau_g.state_dict() == tr.plateau_g.state_dict()
+        assert tr2.plateau_d.state_dict() == tr.plateau_d.state_dict()
 
 
 class TestEvalMetricsProtocol:

@@ -99,5 +99,5 @@ class TestEndToEnd:
                           use_visual_loss=False, steps_per_epoch=2)
         models = build_models(cfg)
         state = init_state(jax.random.key(0), cfg, models)
-        state, epoch = load_checkpoint(state, ckpt_path)
+        state, epoch, _ = load_checkpoint(state, ckpt_path)
         assert epoch >= 0
