@@ -150,6 +150,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "(spatial partitioning with GSPMD halo "
                              "exchange; scales full-resolution inference "
                              "latency, combines with data parallelism)")
+    parser.add_argument("--model-shard", type=int, default=1,
+                        help="tensor parallelism: shard conv feature "
+                             "channels (weights, BN stats, Adam moments) "
+                             "over this many devices — scales model + "
+                             "optimizer memory past one chip's HBM; "
+                             "combines with data parallelism, exclusive "
+                             "with --spatial-shard")
     parser.add_argument("--eval-metrics", action="store_true",
                         help="during validation, also compute the ISTD "
                              "LAB RMSE/MAE eval protocol (src/eval.py "
@@ -236,17 +243,26 @@ def set_logger(log_file: str) -> None:
 
 
 def _select_mesh(devices: list[str], batch_size: int,
-                 spatial_shard: int = 1):
+                 spatial_shard: int = 1, model_shard: int = 1):
     """Map --devices onto a JAX mesh (None = single default device).
 
     Accepts a device count ("8") or a platform name ("tpu"/"cpu"); the
     data-axis size is capped to the largest divisor of the global batch
     size so every device gets an equal shard. ``spatial_shard > 1``
     builds a 2-D (data x spatial) mesh whose spatial axis shards image
-    H rows (GSPMD conv halo exchange over ICI).
+    H rows (GSPMD conv halo exchange over ICI); ``model_shard > 1`` a
+    2-D (data x model) mesh whose model axis shards conv feature
+    channels (tensor parallelism). The two are mutually exclusive.
     """
     import jax
-    from shadow_removal_istd_tpu.parallel.mesh import make_mesh, make_mesh_2d
+    from shadow_removal_istd_tpu.parallel.mesh import (
+        make_mesh,
+        make_mesh_2d,
+        make_mesh_tp,
+    )
+
+    assert spatial_shard <= 1 or model_shard <= 1, \
+        "--spatial-shard and --model-shard cannot combine (yet)"
 
     avail = jax.devices()
     if devices and devices[0].isdigit():
@@ -266,9 +282,16 @@ def _select_mesh(devices: list[str], batch_size: int,
         logger.warning("--spatial-shard %d > %d available devices; "
                        "capping", sp, want)
         sp = want
-    n = min(want // sp, batch_size)
+    mp = max(1, model_shard)
+    if mp > want:
+        logger.warning("--model-shard %d > %d available devices; "
+                       "capping", mp, want)
+        mp = want
+    n = min(want // (sp * mp), batch_size)
     while n > 1 and batch_size % n != 0:
         n -= 1
+    if mp > 1:
+        return make_mesh_tp(max(n, 1), mp, avail)
     if sp > 1:
         return make_mesh_2d(max(n, 1), sp, avail)
     if n > 1:
@@ -340,7 +363,8 @@ def main(args) -> None:
             "(see parallel.mesh.train_batch_sharding)")
     trainer = Trainer(cfg, run,
                       mesh=_select_mesh(args.devices, args.batch_size,
-                                        args.spatial_shard))
+                                        args.spatial_shard,
+                                        args.model_shard))
     trainer.load_weights(g1=args.load_weights_g1, g2=args.load_weights_g2,
                          d1=args.load_weights_d1, d2=args.load_weights_d2)
     if args.load_checkpoint is not None:

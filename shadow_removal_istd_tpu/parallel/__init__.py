@@ -6,6 +6,10 @@ This replaces the reference's single-process ``nn.DataParallel``
 axis, parameters replicated, and XLA inserting the gradient psum and
 global-batch BatchNorm collectives over ICI automatically under jit.
 Multi-host pods initialize via ``jax.distributed`` (DCN between hosts).
+Two further mesh axes the reference cannot express: ``spatial`` (image
+H rows sharded for full-resolution forward work) and ``model`` (tensor
+parallelism — conv feature channels sharded so weights + optimizer
+scale past one chip's HBM).
 """
 
 from shadow_removal_istd_tpu.parallel.mesh import (  # noqa: F401
@@ -14,6 +18,8 @@ from shadow_removal_istd_tpu.parallel.mesh import (  # noqa: F401
     image_sharding,
     make_mesh,
     make_mesh_2d,
+    make_mesh_tp,
+    model_sharding,
     replicated_sharding,
     shard_batch,
     shard_images,

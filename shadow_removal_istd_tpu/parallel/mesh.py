@@ -57,7 +57,16 @@ def shard_batch(mesh: Mesh, batch, axis: str = DATA_AXIS):
 
 
 def shard_state(mesh: Mesh, state):
-    """Replicate a state pytree across the mesh."""
+    """Place a state pytree onto the mesh.
+
+    On a data(-x-spatial) mesh every leaf replicates (parameters are
+    ~12M/net; replication is the right call for data parallelism). On a
+    mesh with a ``model`` axis the tensor-parallel rule applies instead
+    — see :func:`model_sharding`.
+    """
+    if MODEL_AXIS in mesh.axis_names:
+        return jax.tree.map(
+            lambda a: jax.device_put(a, model_sharding(mesh, a)), state)
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sharding), state)
 
@@ -128,3 +137,56 @@ def shard_images(mesh: Mesh, batch):
     (if the mesh has a spatial axis) row-sharded."""
     sharding = image_sharding(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+
+
+# --------------------------------------------------------------------------
+# Tensor parallelism (TP) — shard conv feature channels across chips.
+#
+# The reference's only scale axis is replicated data parallelism
+# (nn.DataParallel, src/cgan.py:78-84): every GPU holds every weight.
+# On TPU the idiomatic way past that is a ``model`` mesh axis: shard
+# each conv kernel's output-channel dim (and every per-channel vector —
+# BN scale/bias/stats, biases, and their Adam moments) across the axis
+# and let GSPMD propagate: activations become channel-sharded NHWC and
+# XLA inserts the all-gathers/reduce-scatters over ICI where a layer
+# needs full channels (skip concats, the 1/3-channel heads). HBM per
+# chip for weights + optimizer drops ~linearly in the axis size, which
+# is what unlocks ngf far past a single chip's memory. Unlike the
+# spatial axis (forward-only, see train_batch_sharding), the TP
+# backward is exact under the default partitioner: the train step
+# matches the single-device step to float tolerance
+# (tests/test_parallel.py::TestTensorParallel).
+# --------------------------------------------------------------------------
+
+MODEL_AXIS = "model"
+
+
+def make_mesh_tp(n_data: int, n_model: int,
+                 devices: Sequence[Any] | None = None) -> Mesh:
+    """2-D (data x model) mesh over the first ``n_data*n_model``
+    devices. The model axis should map to the innermost (ICI-nearest)
+    devices: per-layer channel all-gathers are latency-sensitive, the
+    per-step gradient psum is not."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_data * n_model
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.array(devices[:n]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def model_sharding(mesh: Mesh, leaf: Any) -> NamedSharding:
+    """Tensor-parallel placement rule for one state leaf.
+
+    Shard the trailing (feature/output-channel) dim over the model axis
+    when it divides evenly; replicate everything else (scalars, the
+    1/3-channel heads, odd-sized leaves). Conv kernels are HWIO and
+    per-channel vectors are (C,), so "trailing dim" is the feature dim
+    for every parameter, batch-stat, and Adam-moment leaf alike.
+    """
+    n = mesh.shape[MODEL_AXIS]
+    shape = getattr(leaf, "shape", ())
+    if len(shape) >= 1 and shape[-1] % n == 0 and shape[-1] >= n:
+        return NamedSharding(
+            mesh, P(*([None] * (len(shape) - 1) + [MODEL_AXIS])))
+    return NamedSharding(mesh, P())

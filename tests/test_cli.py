@@ -78,6 +78,24 @@ class TestFlagSurface:
         mesh = _select_mesh(["8"], batch_size=16)
         assert dict(mesh.shape) == {"data": 8}
 
+    def test_select_mesh_model_shard(self):
+        import pytest
+
+        from shadow_removal_istd_tpu.cli.main import _select_mesh
+
+        mesh = _select_mesh(["8"], batch_size=16, model_shard=4)
+        assert dict(mesh.shape) == {"data": 2, "model": 4}
+        # TP-only: batch too small for a data axis
+        mesh = _select_mesh(["8"], batch_size=1, model_shard=8)
+        assert dict(mesh.shape) == {"data": 1, "model": 8}
+        # capped to available devices
+        mesh = _select_mesh(["8"], batch_size=4, model_shard=99)
+        assert mesh.shape["model"] == 8
+        # spatial x model is rejected, not silently mis-sharded
+        with pytest.raises(AssertionError):
+            _select_mesh(["8"], batch_size=4, spatial_shard=2,
+                         model_shard=2)
+
     def test_rundir_naming(self, tmp_path):
         # run-dir names encode lr / D-type / D-loss (src/main.py:100-113)
         args = build_parser().parse_args(
