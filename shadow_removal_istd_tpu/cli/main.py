@@ -157,6 +157,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "optimizer memory past one chip's HBM; "
                              "combines with data parallelism, exclusive "
                              "with --spatial-shard")
+    parser.add_argument("--pipeline-infer", action="store_true",
+                        help="pipeline parallelism for inference: G1 on "
+                             "one device group, G2 on the other, matte "
+                             "handed over between stages (halves "
+                             "per-device weight memory; throughput set "
+                             "by the slower stage)")
     parser.add_argument("--eval-metrics", action="store_true",
                         help="during validation, also compute the ISTD "
                              "LAB RMSE/MAE eval protocol (src/eval.py "
@@ -354,6 +360,7 @@ def main(args) -> None:
         profile_dir=args.profile_dir,
         preempt_save=args.preempt_save,
         eval_metrics=args.eval_metrics,
+        pipeline_infer=args.pipeline_infer,
     )
 
     if args.spatial_shard > 1 and "train" in args.tasks:

@@ -93,6 +93,10 @@ class RunConfig:
     # epochs and log Eval/* scalars — the reference only tracks losses
     # during training and defers the real metric to the offline CLI
     eval_metrics: bool = False
+    # two-stage pipeline-parallel inference (parallel.pipeline): G1 on
+    # one device group, G2 on the other, matte handed over between
+    # stages; halves per-device weight bytes vs the replicated layout
+    pipeline_infer: bool = False
 
 
 class Trainer:
@@ -621,6 +625,19 @@ class Trainer:
         from concurrent.futures import ThreadPoolExecutor
 
         assert self.valid_pipe is not None, "no validation data"
+        run_infer = lambda x: self.infer_step(  # noqa: E731
+            self.state.g_params, self.state.batch_stats, x)
+        if self.run.pipeline_infer:
+            if len(jax.devices()) >= 2:
+                from shadow_removal_istd_tpu.parallel.pipeline import (
+                    StackedPipeline,
+                )
+                run_infer = StackedPipeline(self.models,
+                                            self.state.g_params,
+                                            self.state.batch_stats)
+            else:
+                logger.warning("--pipeline-infer needs >= 2 devices; "
+                               "using the fused single-device path")
         for sub in ("shadowless", "matte"):
             os.makedirs(os.path.join(self.run.infered_dir, sub),
                         exist_ok=True)
@@ -630,8 +647,7 @@ class Trainer:
             for raw in self.valid_pipe.epoch():
                 batch = self._normalize(self._place(raw))
                 x = batch[0]
-                m_pred, y_pred = self.infer_step(self.state.g_params,
-                                                 self.state.batch_stats, x)
+                m_pred, y_pred = run_infer(x)
                 m_pred = denormalize(m_pred)
                 y_pred = denormalize(y_pred)
                 if self.cfg.infer_resize is not None:

@@ -26,6 +26,9 @@ from shadow_removal_istd_tpu.parallel.mesh import (  # noqa: F401
     shard_state,
     train_batch_sharding,
 )
+from shadow_removal_istd_tpu.parallel.pipeline import (  # noqa: F401
+    StackedPipeline,
+)
 from shadow_removal_istd_tpu.parallel.prefetch import (  # noqa: F401
     prefetch_to_device,
 )

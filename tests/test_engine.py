@@ -370,3 +370,43 @@ class TestRemat:
                             jax.tree.leaves(s2.d_params)):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                            atol=5e-6)
+
+
+class TestPipelineInfer:
+    """RunConfig.pipeline_infer routes Trainer.infer through the
+    two-stage StackedPipeline (G1 on one device group, G2 on the
+    other) and must produce the same PNGs as the fused path."""
+
+    def _run(self, tmp_path, tag, pipeline):
+        from shadow_removal_istd_tpu.data.synthetic import (
+            synthetic_triplets,
+        )
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        data = synthetic_triplets(4, SIZE, SIZE, seed=0)
+        streams = {k: data[k] for k in ("img", "matte", "target")}
+        cfg = tiny_cfg(lambda4=0.0, lambda5=0.0, droprate=0.0)
+        run = RunConfig(logs_dir=str(tmp_path / f"l{tag}"),
+                        weights_dir=str(tmp_path / f"w{tag}"),
+                        infered_dir=str(tmp_path / f"o{tag}"),
+                        checkpoint_path=str(tmp_path / f"c{tag}.msgpack"),
+                        pipeline_infer=pipeline, preempt_save=False)
+        tr = Trainer(cfg, run, train_streams=streams,
+                     valid_streams=streams,
+                     valid_names=[f"f{i}" for i in range(4)])
+        assert tr.infer() == 4
+        return str(tmp_path / f"o{tag}")
+
+    def test_matches_fused_path(self, tmp_path):
+        import os
+
+        from shadow_removal_istd_tpu.utils.image_io import imread_color
+        fused = self._run(tmp_path, "a", pipeline=False)
+        piped = self._run(tmp_path, "b", pipeline=True)
+        for sub in ("shadowless", "matte"):
+            for i in range(4):
+                a = imread_color(os.path.join(fused, sub, f"f{i}.png"))
+                b = imread_color(os.path.join(piped, sub, f"f{i}.png"))
+                # identical weights (same seed init, no training):
+                # outputs agree to a quantization step
+                np.testing.assert_allclose(
+                    a.astype(np.int16), b.astype(np.int16), atol=1)

@@ -465,3 +465,86 @@ class TestTensorParallel:
         # ngf=4 is head-heavy; at real ngf the ratio approaches 1/4.
         # Even here the sharded majority must dominate:
         assert tp < 0.55 * single, (tp, single)
+
+
+class TestStackedPipeline:
+    """Two-stage pipeline parallelism (parallel.pipeline): G1's weights
+    on one device group, G2's on the other, matte handed over between
+    stages — the stacked architecture IS a pipeline (reference
+    src/cgan.py:436-438 runs both stages on every device instead)."""
+
+    def _setup(self):
+        from shadow_removal_istd_tpu.engine import make_infer_step
+
+        cfg = _cfg()
+        models = build_models(cfg)
+        state = init_state(jax.random.key(0), cfg, models)
+        infer = make_infer_step(models)
+        x = _batch(8)[0]
+        m_ref, y_ref = jax.device_get(
+            infer(state.g_params, state.batch_stats, x))
+        return cfg, models, state, x, m_ref, y_ref
+
+    def test_matches_fused_infer(self):
+        from shadow_removal_istd_tpu.parallel import StackedPipeline
+
+        _, models, state, x, m_ref, y_ref = self._setup()
+        pipe = StackedPipeline(models, state.g_params, state.batch_stats)
+        m, y = pipe(x)
+        np.testing.assert_allclose(np.asarray(m), m_ref, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-5)
+
+    def test_stage_weights_live_only_on_their_group(self):
+        from shadow_removal_istd_tpu.parallel import StackedPipeline
+
+        _, models, state, x, _, _ = self._setup()
+        pipe = StackedPipeline(models, state.g_params, state.batch_stats)
+        devs_a = set(pipe.mesh_a.devices.flat)
+        devs_b = set(pipe.mesh_b.devices.flat)
+        assert devs_a.isdisjoint(devs_b)
+        leaf1 = jax.tree.leaves(pipe.v1)[0]
+        leaf2 = jax.tree.leaves(pipe.v2)[0]
+        assert set(leaf1.sharding.device_set) == devs_a
+        assert set(leaf2.sharding.device_set) == devs_b
+        # per-device weight bytes halve vs the replicated layout
+        def stage_bytes(v):
+            return sum(l.addressable_shards[0].data.nbytes
+                       for l in jax.tree.leaves(v))
+        both = stage_bytes(pipe.v1) + stage_bytes(pipe.v2)
+        assert stage_bytes(pipe.v1) < both
+        assert stage_bytes(pipe.v2) < both
+
+    def test_stream_pipelines_batches_in_order(self):
+        from shadow_removal_istd_tpu.parallel import StackedPipeline
+
+        _, models, state, _, _, _ = self._setup()
+        from shadow_removal_istd_tpu.engine import make_infer_step
+        infer = make_infer_step(models)
+        ks = jax.random.split(jax.random.key(9), 5)
+        xs = [np.asarray(jax.random.uniform(k, (8, SIZE, SIZE, 3)) * 2 - 1)
+              for k in ks]
+        refs = [jax.device_get(infer(state.g_params, state.batch_stats,
+                                     jnp.asarray(x))) for x in xs]
+        pipe = StackedPipeline(models, state.g_params, state.batch_stats,
+                               depth=2)
+        outs = list(pipe.stream(iter(xs)))
+        assert len(outs) == 5
+        for (m, y), (m_ref, y_ref) in zip(outs, refs):
+            np.testing.assert_allclose(np.asarray(m), m_ref, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-5)
+
+    def test_ragged_batch_replicates(self):
+        # batch 3 doesn't divide the 4-device stage: replicate, stay
+        # correct
+        from shadow_removal_istd_tpu.engine import make_infer_step
+        from shadow_removal_istd_tpu.parallel import StackedPipeline
+
+        _, models, state, _, _, _ = self._setup()
+        infer = make_infer_step(models)
+        x = _batch(3)[0]
+        m_ref, y_ref = jax.device_get(
+            infer(state.g_params, state.batch_stats, x))
+        pipe = StackedPipeline(models, state.g_params, state.batch_stats)
+        m, y = pipe(x)
+        np.testing.assert_allclose(np.asarray(m), m_ref, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-5)
