@@ -129,3 +129,49 @@ class TestScannedEpoch:
         import os
         assert os.path.isfile(
             os.path.join(str(tmp_path / "w"), "G1_MNet_latest.msgpack"))
+
+
+class TestFusedEpochTensorParallel:
+    """--device-cache composes with --model-shard: the one-dispatch
+    scanned epoch must stay exact when the state is channel-sharded
+    over a (data x model) mesh (batches shard on data only, as in
+    train_batch_sharding)."""
+
+    def test_fused_epoch_on_tp_mesh_matches_single_device(self):
+        from shadow_removal_istd_tpu.parallel import (
+            make_mesh_tp,
+            replicated_sharding,
+            shard_state,
+        )
+
+        cfg, models, state, _ = _setup(n=16, batch=8)
+        data = synthetic_triplets(16, 48, 64, seed=0)
+        streams = {k: data[k] for k in ("img", "matte", "target")}
+
+        epoch_single = make_scanned_epoch(models, cfg)
+        cache_s = DeviceDatasetCache(streams)
+        idx = cache_s.epoch_indices(jax.random.key(1), cfg.batch_size)
+        s_single, sums_single = epoch_single(
+            state, cache_s._arrays, idx, jax.random.key(2), 1.0, 1.0)
+
+        mesh = make_mesh_tp(2, 4)
+        state_tp = shard_state(
+            mesh, init_state(jax.random.key(0), cfg, models))
+        cache_tp = DeviceDatasetCache(streams, replicated_sharding(mesh))
+        epoch_tp = make_scanned_epoch(models, cfg, mesh=mesh)
+        s_tp, sums_tp = epoch_tp(
+            state_tp, cache_tp._arrays,
+            jax.device_put(idx, replicated_sharding(mesh)),
+            jax.random.key(2), 1.0, 1.0)
+
+        assert int(s_tp.step) == int(s_single.step) == 2
+        np.testing.assert_allclose(float(sums_tp["G"]),
+                                   float(sums_single["G"]), rtol=2e-4)
+        np.testing.assert_allclose(float(sums_tp["D"]),
+                                   float(sums_single["D"]), rtol=2e-4)
+        # the sharded trailing dims survived the scan: weights remain
+        # split across the model axis afterwards
+        k = s_tp.g_params["g1"]["_Down_1"]["ConvReflect_0"]["Conv_0"][
+            "kernel"]
+        assert {s.data.shape[-1] for s in k.addressable_shards} == {
+            k.shape[-1] // 4}

@@ -467,6 +467,44 @@ class TestTensorParallel:
         assert tp < 0.55 * single, (tp, single)
 
 
+    def test_multi_step_trajectory_matches_single_device(self):
+        """TP equivalence must hold over a trajectory, not just one
+        step: Adam moments and BN running stats evolve on SHARDED
+        leaves for several steps and must track the single-device run
+        within float tolerance throughout."""
+        from shadow_removal_istd_tpu.parallel import (
+            make_mesh_tp,
+            shard_state,
+            train_batch_sharding,
+        )
+
+        cfg = _cfg()
+        models = build_models(cfg)
+        step = make_train_step(models, cfg)
+        batch = _batch()
+
+        s_ref = init_state(jax.random.key(0), cfg, models)
+        mesh = make_mesh_tp(2, 4)
+        s_tp = shard_state(mesh, init_state(jax.random.key(0), cfg,
+                                            models))
+        batch_tp = jax.tree.map(
+            lambda a: jax.device_put(a, train_batch_sharding(mesh)), batch)
+        for i in range(4):
+            rng = jax.random.key(100 + i)
+            s_ref, m_ref = step(s_ref, batch, rng)
+            s_tp, m_tp = step(s_tp, batch_tp, rng)
+            assert float(m_ref["G"]) == pytest.approx(float(m_tp["G"]),
+                                                      rel=5e-4), i
+        for a, b in zip(jax.tree.leaves(s_ref.g_params),
+                        jax.tree.leaves(s_tp.g_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)
+        for a, b in zip(jax.tree.leaves(s_ref.batch_stats),
+                        jax.tree.leaves(s_tp.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)
+
+
 class TestStackedPipeline:
     """Two-stage pipeline parallelism (parallel.pipeline): G1's weights
     on one device group, G2's on the other, matte handed over between
