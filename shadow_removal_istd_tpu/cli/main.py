@@ -267,8 +267,11 @@ def _select_mesh(devices: list[str], batch_size: int,
         make_mesh_tp,
     )
 
-    assert spatial_shard <= 1 or model_shard <= 1, \
-        "--spatial-shard and --model-shard cannot combine (yet)"
+    if spatial_shard > 1 and model_shard > 1:
+        # a real raise, not an assert: -O must not silently build a
+        # mesh that drops one of the two requested factors
+        raise ValueError(
+            "--spatial-shard and --model-shard cannot combine (yet)")
 
     avail = jax.devices()
     if devices and devices[0].isdigit():

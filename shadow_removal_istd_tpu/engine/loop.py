@@ -620,30 +620,68 @@ class Trainer:
         PNG encoding runs write-behind on a small thread pool (cv2
         releases the GIL in imencode), overlapping host IO with the
         next batch's device compute instead of serializing them like
-        the reference's per-image cv.imwrite loop.
+        the reference's per-image cv.imwrite loop. The blocking
+        device->host readback is likewise deferred by one batch, so
+        batch i+1's compute (both pipeline stages) is dispatched
+        before the host blocks on batch i's outputs.
         """
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         assert self.valid_pipe is not None, "no validation data"
         run_infer = lambda x: self.infer_step(  # noqa: E731
             self.state.g_params, self.state.batch_stats, x)
         if self.run.pipeline_infer:
-            if len(jax.devices()) >= 2:
+            # respect --devices: the pipeline splits the trainer's
+            # selected devices (the mesh), not every chip on the host;
+            # only a mesh-less trainer (no selection configured) may
+            # claim the whole host
+            from shadow_removal_istd_tpu.parallel.mesh import SPATIAL_AXIS
+
+            devs = (list(self.mesh.devices.flat) if self.mesh is not None
+                    else jax.devices())
+            if (self.mesh is not None
+                    and self.mesh.shape.get(SPATIAL_AXIS, 1) > 1):
+                logger.warning(
+                    "--pipeline-infer ignores --spatial-shard: each "
+                    "batch is re-placed onto the pipeline's own "
+                    "per-stage data meshes")
+            if len(devs) >= 2:
                 from shadow_removal_istd_tpu.parallel.pipeline import (
                     StackedPipeline,
                 )
                 run_infer = StackedPipeline(self.models,
                                             self.state.g_params,
-                                            self.state.batch_stats)
+                                            self.state.batch_stats,
+                                            devices=devs)
             else:
-                logger.warning("--pipeline-infer needs >= 2 devices; "
-                               "using the fused single-device path")
+                logger.warning("--pipeline-infer needs >= 2 selected "
+                               "devices; using the fused path")
         for sub in ("shadowless", "matte"):
             os.makedirs(os.path.join(self.run.infered_dir, sub),
                         exist_ok=True)
         idx = 0
         futures = []
+        pending: deque = deque()  # dispatched device arrays, unread
+
         with ThreadPoolExecutor(max_workers=4) as pool:
+
+            def write_batch(m_dev, y_dev):
+                nonlocal idx
+                m_np = np.asarray(jax.device_get(m_dev))
+                y_np = np.asarray(jax.device_get(y_dev))
+                for i in range(m_np.shape[0]):
+                    name = (self.valid_names[idx]
+                            if idx < len(self.valid_names)
+                            else f"{idx:05d}")
+                    for sub, arr in (("shadowless", y_np[i]),
+                                     ("matte", m_np[i][..., 0])):
+                        path = os.path.join(self.run.infered_dir, sub,
+                                            f"{name}.png")
+                        os.makedirs(os.path.dirname(path), exist_ok=True)
+                        futures.append(pool.submit(imwrite, path, arr))
+                    idx += 1
+
             for raw in self.valid_pipe.epoch():
                 batch = self._normalize(self._place(raw))
                 x = batch[0]
@@ -658,25 +696,22 @@ class Trainer:
                     )
                     m_pred = resize_linear(m_pred, self.cfg.infer_resize)
                     y_pred = resize_linear(y_pred, self.cfg.infer_resize)
-                m_np = np.asarray(jax.device_get(float_to_uint8(m_pred)))
-                y_np = np.asarray(jax.device_get(float_to_uint8(y_pred)))
-                for i in range(m_np.shape[0]):
-                    name = (self.valid_names[idx]
-                            if idx < len(self.valid_names)
-                            else f"{idx:05d}")
-                    for sub, arr in (("shadowless", y_np[i]),
-                                     ("matte", m_np[i][..., 0])):
-                        path = os.path.join(self.run.infered_dir, sub,
-                                            f"{name}.png")
-                        os.makedirs(os.path.dirname(path), exist_ok=True)
-                        futures.append(pool.submit(imwrite, path, arr))
-                    idx += 1
+                pending.append((float_to_uint8(m_pred),
+                                float_to_uint8(y_pred)))
+                # defer the blocking readback by one batch: the next
+                # batch's compute is already dispatched when the host
+                # blocks on this one, so pipeline stages (and fused
+                # compute vs. readback) genuinely overlap
+                if len(pending) >= 2:
+                    write_batch(*pending.popleft())
                 # backpressure: bound pending writes so the queue never
                 # pins more than ~2 batches of decoded outputs in host
                 # memory (each pending arr keeps its batch array alive);
                 # 2 futures/image (matte + shadowless) x batch x 2
                 while len(futures) > 4 * max(self.cfg.batch_size, 1):
                     futures.pop(0).result()
+            while pending:
+                write_batch(*pending.popleft())
             for f in futures:
                 f.result()  # surface any write error
         return idx

@@ -65,10 +65,37 @@ def shard_state(mesh: Mesh, state):
     — see :func:`model_sharding`.
     """
     if MODEL_AXIS in mesh.axis_names:
-        return jax.tree.map(
+        placed = jax.tree.map(
             lambda a: jax.device_put(a, model_sharding(mesh, a)), state)
+        _warn_if_tp_ineffective(mesh, placed)
+        return placed
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+
+
+def _warn_if_tp_ineffective(mesh: Mesh, placed) -> None:
+    """Tensor parallelism degrades to silent replication when channel
+    counts don't divide the model-axis size (e.g. --model-shard 3 with
+    power-of-two ngf widths): every leaf falls through model_sharding's
+    replicate branch and per-chip memory doesn't drop at all. Say so
+    instead of letting the user OOM exactly as before."""
+    import logging
+
+    total = sharded = 0
+    for leaf in jax.tree.leaves(placed):
+        n = getattr(leaf, "nbytes", 0)
+        total += n
+        spec = getattr(getattr(leaf, "sharding", None), "spec", ())
+        if any(s == MODEL_AXIS for s in spec):
+            sharded += n
+    frac = sharded / total if total else 0.0
+    if frac < 0.5:
+        logging.getLogger(__name__).warning(
+            "model axis size %d shards only %.0f%% of state bytes — "
+            "channel counts must divide the axis size to shard "
+            "(power-of-two --model-shard values fit the ngf-multiple "
+            "widths); per-chip memory will barely drop",
+            mesh.shape[MODEL_AXIS], 100 * frac)
 
 
 # --------------------------------------------------------------------------
@@ -167,12 +194,8 @@ def make_mesh_tp(n_data: int, n_model: int,
     devices. The model axis should map to the innermost (ICI-nearest)
     devices: per-layer channel all-gathers are latency-sensitive, the
     per-step gradient psum is not."""
-    if devices is None:
-        devices = jax.devices()
-    n = n_data * n_model
-    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    arr = np.array(devices[:n]).reshape(n_data, n_model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    return make_mesh_2d(n_data, n_model, devices,
+                        axes=(DATA_AXIS, MODEL_AXIS))
 
 
 def model_sharding(mesh: Mesh, leaf: Any) -> NamedSharding:

@@ -100,7 +100,7 @@ class StackedPipeline:
         q: deque = deque()
         for x in batches:
             q.append(self(x))
-            if len(q) > self.depth:
+            if len(q) >= self.depth:
                 m, y = q.popleft()
                 yield jax.block_until_ready(m), jax.block_until_ready(y)
         while q:

@@ -91,8 +91,9 @@ class TestFlagSurface:
         # capped to available devices
         mesh = _select_mesh(["8"], batch_size=4, model_shard=99)
         assert mesh.shape["model"] == 8
-        # spatial x model is rejected, not silently mis-sharded
-        with pytest.raises(AssertionError):
+        # spatial x model is rejected, not silently mis-sharded — a
+        # real ValueError so `python -O` can't strip the check
+        with pytest.raises(ValueError):
             _select_mesh(["8"], batch_size=4, spatial_shard=2,
                          model_shard=2)
 

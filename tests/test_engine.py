@@ -410,3 +410,41 @@ class TestPipelineInfer:
                 # outputs agree to a quantization step
                 np.testing.assert_allclose(
                     a.astype(np.int16), b.astype(np.int16), atol=1)
+
+    def test_pipeline_respects_mesh_device_selection(self, tmp_path,
+                                                     monkeypatch):
+        """--devices confines the pipeline too: StackedPipeline must
+        split the trainer's mesh devices, never claim chips the user
+        excluded (e.g. --devices 2 on an 8-chip host)."""
+        from shadow_removal_istd_tpu.data.synthetic import (
+            synthetic_triplets,
+        )
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        from shadow_removal_istd_tpu.parallel import mesh as mesh_mod
+        from shadow_removal_istd_tpu.parallel import pipeline as pipe_mod
+
+        selected = jax.devices()[:2]
+        captured = {}
+        orig = pipe_mod.StackedPipeline.__init__
+
+        def spy(self, models, g_params, batch_stats, devices=None,
+                depth=2):
+            captured["devices"] = devices
+            orig(self, models, g_params, batch_stats, devices=devices,
+                 depth=depth)
+
+        monkeypatch.setattr(pipe_mod.StackedPipeline, "__init__", spy)
+        data = synthetic_triplets(4, SIZE, SIZE, seed=0)
+        streams = {k: data[k] for k in ("img", "matte", "target")}
+        cfg = tiny_cfg(lambda4=0.0, lambda5=0.0, droprate=0.0)
+        run = RunConfig(logs_dir=str(tmp_path / "l"),
+                        weights_dir=str(tmp_path / "w"),
+                        infered_dir=str(tmp_path / "o"),
+                        checkpoint_path=str(tmp_path / "c.msgpack"),
+                        pipeline_infer=True, preempt_save=False)
+        tr = Trainer(cfg, run, train_streams=streams,
+                     valid_streams=streams,
+                     valid_names=[f"f{i}" for i in range(4)],
+                     mesh=mesh_mod.make_mesh(selected))
+        assert tr.infer() == 4
+        assert captured["devices"] == selected
