@@ -13,9 +13,13 @@
 #     python -m shadow_removal_istd_tpu.cli.main ... \
 #         --vgg-weights <outdir>/vgg19_bn.npz
 #
-# The download is checksum-pinned: torchvision weight files embed the
-# first 8 hex chars of their SHA-256 in the filename, and that value is
-# hard-coded below, so a tampered or truncated download fails loudly.
+# Integrity: torchvision weight files embed the first 8 hex chars of
+# their SHA-256 in the filename; that prefix is hard-coded below and
+# catches corruption/truncation. A 32-bit prefix is NOT a defense
+# against a deliberately tampered mirror — for that, pass the full
+# 64-char digest (knowable on any trusted host via
+# `sha256sum vgg19_bn-c79401a0.pth`) in VGG19_BN_SHA256 and the script
+# enforces it instead.
 set -euo pipefail
 
 OUTDIR="${1:-.}"
@@ -31,13 +35,22 @@ if [ ! -f "$PTH" ]; then
     mv "$PTH.tmp" "$PTH"
 fi
 
-ACTUAL=$(sha256sum "$PTH" | cut -c1-8)
-if [ "$ACTUAL" != "$SHA256_PREFIX" ]; then
+FULL=$(sha256sum "$PTH" | cut -d' ' -f1)
+if [ -n "${VGG19_BN_SHA256:-}" ]; then
+    if [ "$FULL" != "$VGG19_BN_SHA256" ]; then
+        echo "CHECKSUM MISMATCH: expected sha256 $VGG19_BN_SHA256," >&2
+        echo "got $FULL — refusing to convert $PTH" >&2
+        exit 1
+    fi
+    echo "checksum ok (full sha256)"
+elif [ "${FULL:0:8}" != "$SHA256_PREFIX" ]; then
     echo "CHECKSUM MISMATCH: expected sha256 prefix $SHA256_PREFIX," >&2
-    echo "got $ACTUAL — refusing to convert $PTH" >&2
+    echo "got ${FULL:0:8} — refusing to convert $PTH" >&2
     exit 1
+else
+    echo "checksum prefix ok (${FULL:0:8}); set VGG19_BN_SHA256 for a" \
+         "full pin"
 fi
-echo "checksum ok ($ACTUAL)"
 
 python -m shadow_removal_istd_tpu.tools.convert_vgg \
     --state-dict "$PTH" --out "$NPZ"

@@ -122,6 +122,11 @@ class Trainer:
         # init-time split() chain of self.rng.
         self._epoch_base = jax.random.fold_in(self.rng, 1)
 
+        # whether validation data comes from run's own loaders below —
+        # the eval-metrics mask stream may only be loaded from the same
+        # source, never paired with caller-injected streams
+        streams_injected = (train_streams is not None
+                            or valid_streams is not None)
         if train_streams is None and run.data_h5:
             train_streams, valid_streams, valid_names = self._load_h5()
         elif train_streams is None and run.data_dirs:
@@ -254,7 +259,16 @@ class Trainer:
         # matte); loaded separately for the validation split when the
         # training streams don't already include it
         self._valid_masks = None
-        if run.eval_metrics and "mask" not in self.cfg.train_datas:
+        if (run.eval_metrics and "mask" not in self.cfg.train_datas
+                and streams_injected):
+            # masks from run.data_h5/data_dirs would be ordered against
+            # a DIFFERENT validation set than the injected one — wrong
+            # metrics at best, a mid-validation shape mismatch at worst
+            logger.warning(
+                "--eval-metrics with injected validation streams: no "
+                "aligned mask stream; Eval scalars use the matte proxy "
+                "(tagged EvalProxy/*)")
+        elif run.eval_metrics and "mask" not in self.cfg.train_datas:
             if run.data_h5:
                 from shadow_removal_istd_tpu.data.h5 import ISTDH5Dataset
                 try:
@@ -332,6 +346,15 @@ class Trainer:
                 # back to data-only rather than crash in device_put.
                 h = batch[0].shape[1]
                 spatial_ok = h % self.mesh.shape.get(SPATIAL_AXIS, 1) == 0
+                if (not train and not spatial_ok
+                        and self.mesh.shape.get(SPATIAL_AXIS, 1) > 1
+                        and not getattr(self, "_warned_spatial", False)):
+                    self._warned_spatial = True
+                    logger.warning(
+                        "--spatial-shard %d does not divide image "
+                        "height %d; falling back to data-only "
+                        "sharding (no spatial latency scaling)",
+                        self.mesh.shape[SPATIAL_AXIS], h)
                 sharding = (train_batch_sharding(self.mesh)
                             if train or not spatial_ok
                             else image_sharding(self.mesh))
@@ -625,8 +648,9 @@ class Trainer:
         batch i+1's compute (both pipeline stages) is dispatched
         before the host blocks on batch i's outputs.
         """
-        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
+
+        from shadow_removal_istd_tpu.parallel.pipeline import overlap
 
         assert self.valid_pipe is not None, "no validation data"
         run_infer = lambda x: self.infer_step(  # noqa: E731
@@ -636,7 +660,10 @@ class Trainer:
             # selected devices (the mesh), not every chip on the host;
             # only a mesh-less trainer (no selection configured) may
             # claim the whole host
-            from shadow_removal_istd_tpu.parallel.mesh import SPATIAL_AXIS
+            from shadow_removal_istd_tpu.parallel.mesh import (
+                MODEL_AXIS,
+                SPATIAL_AXIS,
+            )
 
             devs = (list(self.mesh.devices.flat) if self.mesh is not None
                     else jax.devices())
@@ -646,6 +673,14 @@ class Trainer:
                     "--pipeline-infer ignores --spatial-shard: each "
                     "batch is re-placed onto the pipeline's own "
                     "per-stage data meshes")
+            if (self.mesh is not None
+                    and self.mesh.shape.get(MODEL_AXIS, 1) > 1):
+                logger.warning(
+                    "--pipeline-infer discards --model-shard: each "
+                    "stage's FULL weights are replicated onto its "
+                    "device group — if the model was sharded because "
+                    "it exceeds one chip's memory, this will OOM; use "
+                    "the fused (non-pipeline) infer path instead")
             if len(devs) >= 2:
                 from shadow_removal_istd_tpu.parallel.pipeline import (
                     StackedPipeline,
@@ -662,8 +697,6 @@ class Trainer:
                         exist_ok=True)
         idx = 0
         futures = []
-        pending: deque = deque()  # dispatched device arrays, unread
-
         with ThreadPoolExecutor(max_workers=4) as pool:
 
             def write_batch(m_dev, y_dev):
@@ -682,10 +715,9 @@ class Trainer:
                         futures.append(pool.submit(imwrite, path, arr))
                     idx += 1
 
-            for raw in self.valid_pipe.epoch():
+            def compute(raw):
                 batch = self._normalize(self._place(raw))
-                x = batch[0]
-                m_pred, y_pred = run_infer(x)
+                m_pred, y_pred = run_infer(batch[0])
                 m_pred = denormalize(m_pred)
                 y_pred = denormalize(y_pred)
                 if self.cfg.infer_resize is not None:
@@ -696,22 +728,20 @@ class Trainer:
                     )
                     m_pred = resize_linear(m_pred, self.cfg.infer_resize)
                     y_pred = resize_linear(y_pred, self.cfg.infer_resize)
-                pending.append((float_to_uint8(m_pred),
-                                float_to_uint8(y_pred)))
-                # defer the blocking readback by one batch: the next
-                # batch's compute is already dispatched when the host
-                # blocks on this one, so pipeline stages (and fused
-                # compute vs. readback) genuinely overlap
-                if len(pending) >= 2:
-                    write_batch(*pending.popleft())
+                return float_to_uint8(m_pred), float_to_uint8(y_pred)
+
+            # overlap() defers the blocking readback by one batch: the
+            # next batch's compute is already dispatched when the host
+            # blocks on this one, so pipeline stages (and fused compute
+            # vs. readback) genuinely overlap
+            for m_dev, y_dev in overlap(compute, self.valid_pipe.epoch()):
+                write_batch(m_dev, y_dev)
                 # backpressure: bound pending writes so the queue never
                 # pins more than ~2 batches of decoded outputs in host
                 # memory (each pending arr keeps its batch array alive);
                 # 2 futures/image (matte + shadowless) x batch x 2
                 while len(futures) > 4 * max(self.cfg.batch_size, 1):
                     futures.pop(0).result()
-            while pending:
-                write_batch(*pending.popleft())
             for f in futures:
                 f.result()  # surface any write error
         return idx

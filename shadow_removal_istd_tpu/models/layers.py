@@ -258,15 +258,8 @@ def _subpixel_nn_conv(x, w, dtype=None):
     reflect-pad of the upsampled canvas (up[-1]=up[1]=x[0]) reduces to
     an EDGE pad of the low-res input.
     """
-    n, h, wd, cin = x.shape
-    cout = w.shape[-1]
-    compute_dtype = dtype or x.dtype
-    kernel = subpixel_phase_kernel(w.astype(compute_dtype))
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    y = jax.lax.conv_general_dilated(
-        xp.astype(compute_dtype), kernel, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (n, h+1, w+1, 4co)
-    return subpixel_depth_to_space(y, h, wd, cout)
+    y, d2s = _subpixel_nn_conv_phase(x, w, dtype)
+    return d2s(y)
 
 
 class Upsample(nn.Module):

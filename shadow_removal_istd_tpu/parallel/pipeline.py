@@ -47,6 +47,11 @@ class StackedPipeline:
             devices = jax.devices()
         assert len(devices) >= 2, "pipeline needs >= 2 devices"
         half = len(devices) // 2
+        if len(devices) % 2:
+            import logging
+            logging.getLogger(__name__).warning(
+                "pipeline splits devices into two equal stage groups; "
+                "odd device %s stays idle", devices[-1])
         self.mesh_a = Mesh(np.asarray(devices[:half]), (DATA_AXIS,))
         self.mesh_b = Mesh(np.asarray(devices[half:2 * half]),
                            (DATA_AXIS,))
@@ -97,12 +102,20 @@ class StackedPipeline:
         batches in flight: the host dispatches ahead, so stage A works
         on batch i+1 while stage B finishes batch i; yielding blocks
         only when the pipeline is full."""
-        q: deque = deque()
-        for x in batches:
-            q.append(self(x))
-            if len(q) >= self.depth:
-                m, y = q.popleft()
-                yield jax.block_until_ready(m), jax.block_until_ready(y)
-        while q:
-            m, y = q.popleft()
+        for m, y in overlap(self, batches, self.depth):
             yield jax.block_until_ready(m), jax.block_until_ready(y)
+
+
+def overlap(fn, batches: Iterable[Any], depth: int = 2) -> Iterator[Any]:
+    """Dispatch-ahead driver: yield ``fn(batch)`` results with up to
+    ``depth`` batches in flight, so the consumer's blocking readback of
+    result i overlaps the (async-dispatched) device compute of batch
+    i+1. The single implementation behind both ``StackedPipeline
+    .stream`` and the trainer's fused-infer readback deferral."""
+    q: deque = deque()
+    for x in batches:
+        q.append(fn(x))
+        if len(q) >= depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()

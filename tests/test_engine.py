@@ -312,6 +312,28 @@ class TestEvalMetricsProtocol:
         got = np.asarray(tr._protocol_mask(m, 0, 2))
         np.testing.assert_array_equal(got, np.asarray(m)[..., 0] > 0.0)
 
+    def test_injected_streams_never_pair_with_source_masks(self,
+                                                           tmp_path):
+        """Injected validation streams must NOT be paired with a mask
+        stream loaded from run.data_h5/data_dirs — those masks are
+        ordered against a DIFFERENT validation set (wrong metrics, or a
+        mid-validation shape mismatch when counts differ)."""
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        cfg = tiny_cfg(lambda4=0.0, lambda5=0.0)
+        streams = {
+            "img": np.zeros((2, SIZE, SIZE, 3), np.uint8),
+            "matte": np.zeros((2, SIZE, SIZE, 1), np.uint8),
+            "target": np.zeros((2, SIZE, SIZE, 3), np.uint8),
+        }
+        # data_h5 points at a path that would even fail to open — the
+        # guard must short-circuit before any source load is attempted
+        run = RunConfig(eval_metrics=True,
+                        data_h5=str(tmp_path / "unrelated.h5"))
+        tr = Trainer(cfg, run, train_streams=streams,
+                     valid_streams=streams)
+        assert tr._valid_masks is None
+        assert not tr._has_protocol_masks()  # -> EvalProxy tag
+
     def test_h5_mask_stream_feeds_eval_protocol(self, tmp_path):
         import pytest as _pytest
         _pytest.importorskip("h5py")
