@@ -288,6 +288,10 @@ class Upsample(nn.Module):
         channels while they are still the conv's direct output (so XLA
         fuses it into the conv epilogue) and run the d2s layout copy in
         the narrow dtype afterwards."""
+        parts = x if isinstance(x, (tuple, list)) else None
+        if parts is not None:
+            x = (jnp.concatenate(parts, axis=-1)
+                 if not (self.no_conv_t and self.subpixel) else parts[0])
         if self.no_conv_t:
             conv = ConvReflect(self.features, (3, 3), (1, 1), padding=1,
                                use_bias=self.use_bias,
@@ -299,12 +303,29 @@ class Upsample(nn.Module):
             # Materialize the conv's params at their usual tree path by
             # tracing it on a tiny dummy; XLA dead-code-eliminates the
             # unused call, and checkpoints/bridge layouts stay stable.
-            _ = conv(jnp.zeros((1, 2, 2, x.shape[-1]), x.dtype))
+            cin = (x.shape[-1] if parts is None
+                   else sum(p.shape[-1] for p in parts))
+            _ = conv(jnp.zeros((1, 2, 2, cin), x.dtype))
             w = conv.variables["params"]["Conv_0"]["kernel"]
+            if parts is not None:
+                # Split-concat form: conv is linear in input channels,
+                # so conv(concat(parts), w) == sum(conv(p, w_slice)) —
+                # the concatenated skip tensor is never materialized
+                # (one HBM round trip saved per decoder layer). Params
+                # stay a single full-width kernel at the usual path.
+                off, y = 0, None
+                for p in parts:
+                    c = p.shape[-1]
+                    yp, d2s = _subpixel_nn_conv_phase(
+                        p, w[:, :, off:off + c], dtype=self.dtype)
+                    y = yp if y is None else y + yp
+                    off += c
+            else:
+                y, d2s = _subpixel_nn_conv_phase(x, w, dtype=self.dtype)
             if defer_d2s:
                 assert not self.use_bias
-                return _subpixel_nn_conv_phase(x, w, dtype=self.dtype)
-            out = _subpixel_nn_conv(x, w, dtype=self.dtype)
+                return y, d2s
+            out = d2s(y)
             if self.use_bias:
                 out = out + conv.variables["params"]["Conv_0"]["bias"]
             return out

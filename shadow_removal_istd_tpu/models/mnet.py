@@ -50,13 +50,21 @@ class _Up(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, link, train: bool):
-        y = nn.leaky_relu(x, negative_slope=0.2)
+    def __call__(self, x, link, train: bool, split: bool = False):
+        """``split=True`` (eval only): ``x`` may be a tuple of channel
+        parts standing for their concatenation, and the return is the
+        tuple ``(y, link)`` instead of ``concat([y, link])`` — the skip
+        tensor is never materialized. Exact because LeakyReLU is
+        elementwise and the upsample conv is linear in input channels
+        (Upsample sums per-part phase convs with kernel slices)."""
+        parts = x if isinstance(x, tuple) else (x,)
+        ys = tuple(nn.leaky_relu(p, negative_slope=0.2) for p in parts)
+        y = ys if len(ys) > 1 else ys[0]
         up = L.Upsample(self.features, no_conv_t=self.no_conv_t,
                         use_bias=False, dtype=self.dtype)
         bn = L.BatchNorm(dtype=self.dtype)
         if (not train and self.no_conv_t
-                and y.shape[1] * y.shape[2] >= 4500):
+                and ys[0].shape[1] * ys[0].shape[2] >= 4500):
             # eval fast path: BN affine on the phase channels BEFORE
             # depth-to-space — bit-identical (per-channel affine
             # commutes with the rearrangement), keeps the f32 affine in
@@ -74,6 +82,8 @@ class _Up(nn.Module):
             y = bn(y4, False, d2s=d2s, tile=4)
         else:
             y = bn(up(y), train)
+        if split:
+            return y, link
         return jnp.concatenate([y, link], axis=-1)
 
 
@@ -89,6 +99,10 @@ class MNet(nn.Module):
     activation: str | None = "tanh"
     depth: int = 4
     dtype: Any = None  # bf16 mixed-precision compute when set
+    # Eval-only: carry decoder skip concats as (y, link) tuples and let
+    # each consumer conv sum per-part kernel-slice convs instead of
+    # reading a materialized concat (see _Up.__call__ / L.Upsample).
+    split_skip: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -121,12 +135,14 @@ class MNet(nn.Module):
             y, link = _Down(down_feats[i], dtype=self.dtype)(y, train)
             links.append(link)
 
+        split = self.split_skip and not train and self.no_conv_t
         for i in reversed(range(d)):
             y = _Up(up_feats[i], no_conv_t=self.no_conv_t,
-                    dtype=self.dtype)(y, links[i], train)
+                    dtype=self.dtype)(y, links[i], train, split=split)
             # Dropout on every skip level except the outermost
             # (reference mnet.py:59-65: outer block drop_rate=0).
-            if i > 0 and self.drop_rate > 0:
+            # Identity at eval, so the split (eval-only) path skips it.
+            if i > 0 and self.drop_rate > 0 and not split:
                 y = L.Dropout2d(self.drop_rate)(y, train)
 
         y = L.Upsample(self.out_channels, no_conv_t=self.no_conv_t,

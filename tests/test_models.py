@@ -214,6 +214,75 @@ class TestSubpixelUpsample:
         assert jax.tree_util.tree_structure(vf) == \
             jax.tree_util.tree_structure(vs)
 
+    def test_split_parts_match_concat(self):
+        # conv(concat(parts)) == sum of kernel-slice convs per part —
+        # the split-skip form never materializes the concat
+        from shadow_removal_istd_tpu.models.layers import Upsample
+        rng = np.random.default_rng(1)
+        a = jnp.asarray(rng.normal(size=(2, 6, 5, 4)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(2, 6, 5, 3)).astype(np.float32))
+        up = Upsample(7, no_conv_t=True, use_bias=False, subpixel=True)
+        v = up.init(KEY, jnp.concatenate([a, b], axis=-1))
+        v = jax.tree.map(
+            lambda t: jnp.asarray(rng.normal(size=t.shape), t.dtype), v)
+        with jax.default_matmul_precision("highest"):
+            y_cat = up.apply(v, jnp.concatenate([a, b], axis=-1))
+            y_split = up.apply(v, (a, b))
+        np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_cat),
+                                   atol=2e-5)
+
+
+class TestMNetSplitSkip:
+    """MNet(split_skip=True) carries decoder skips as (y, link) tuples;
+    eval output must match the concat form exactly and the param tree
+    must be unchanged (checkpoints/bridge compatibility)."""
+
+    def test_eval_equivalence_and_param_tree(self):
+        from shadow_removal_istd_tpu.models.mnet import MNet
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+        base = MNet(out_channels=1, ngf=8, split_skip=False)
+        split = MNet(out_channels=1, ngf=8, split_skip=True)
+        v = base.init(KEY, x, train=False)
+        vs = jax.eval_shape(lambda: split.init(KEY, x, train=False))
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(vs))
+        with jax.default_matmul_precision("highest"):
+            y0 = base.apply(v, x, train=False)
+            y1 = split.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=2e-5)
+
+    def test_gated_phase_affine_size(self):
+        # >=4500 pre-upsample area takes the defer-d2s fast path inside
+        # the split form; both fast paths must compose
+        from shadow_removal_istd_tpu.models.mnet import MNet
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(1, 96, 96, 3)).astype(np.float32))
+        base = MNet(out_channels=1, ngf=8, split_skip=False)
+        split = MNet(out_channels=1, ngf=8, split_skip=True)
+        v = base.init(KEY, x, train=False)
+        with jax.default_matmul_precision("highest"):
+            y0 = base.apply(v, x, train=False)
+            y1 = split.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=2e-5)
+
+    def test_train_path_ignores_flag(self):
+        from shadow_removal_istd_tpu.models.mnet import MNet
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+        base = MNet(out_channels=1, ngf=8, drop_rate=0.1, split_skip=False)
+        split = MNet(out_channels=1, ngf=8, drop_rate=0.1, split_skip=True)
+        v = base.init(KEY, x, train=False)
+        y0, s0 = base.apply(v, x, train=True, mutable=["batch_stats"],
+                            rngs={"dropout": KEY})
+        y1, s1 = split.apply(v, x, train=True, mutable=["batch_stats"],
+                             rngs={"dropout": KEY})
+        assert jnp.array_equal(y0, y1)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), s0, s1)
+
 
 class TestFlopCounter:
     """utils/flops.py analytic MXU FLOP counts on known shapes."""
