@@ -586,3 +586,32 @@ class TestStackedPipeline:
         m, y = pipe(x)
         np.testing.assert_allclose(np.asarray(m), m_ref, atol=2e-5)
         np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-5)
+
+
+class TestOverlap:
+    """parallel.pipeline.overlap — the dispatch-ahead driver shared by
+    StackedPipeline.stream and the trainer's infer readback deferral."""
+
+    def test_yields_all_in_order_with_dispatch_ahead(self):
+        from shadow_removal_istd_tpu.parallel.pipeline import overlap
+
+        calls = []
+
+        def fn(x):
+            calls.append(x)
+            return x * 10
+
+        seen = []
+        for out in overlap(fn, range(5), depth=2):
+            seen.append(out)
+            # when result i is yielded, batch i+1 was already
+            # dispatched (that is the point of the helper)
+            if len(seen) < 5:
+                assert len(calls) >= len(seen) + 1
+        assert seen == [0, 10, 20, 30, 40]
+
+    def test_short_input_drains(self):
+        from shadow_removal_istd_tpu.parallel.pipeline import overlap
+
+        assert list(overlap(lambda x: x, [7], depth=4)) == [7]
+        assert list(overlap(lambda x: x, [], depth=2)) == []
