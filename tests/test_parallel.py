@@ -282,6 +282,54 @@ class TestSpatialShardingWithFusedDecoder:
         np.testing.assert_allclose(y_sh, y_ref, atol=2e-5)
 
 
+class TestSpatialShardingWithSplitSkip:
+    """MNet(split_skip=True) carries decoder skips as (y, link) tuples;
+    under GSPMD row sharding the tuple parts partition independently and
+    the consumer's per-part phase convs each see halo exchanges — the
+    composition must still match unsharded split-off math."""
+
+    def test_row_sharded_split_skip_matches_single_device(self):
+        from shadow_removal_istd_tpu.engine import make_infer_step
+        from shadow_removal_istd_tpu.models import get_generator
+        from shadow_removal_istd_tpu.parallel import (
+            make_mesh_2d,
+            shard_images,
+            shard_state,
+        )
+
+        cfg = TrainConfig(ngf=8, ndf=8, image_size=256,
+                          use_visual_loss=False, droprate=0.0)
+        models = build_models(cfg)
+        state = init_state(jax.random.key(0), cfg, models)
+        # params are identical between the two forms (split mode slices
+        # the same kernels at apply time), so the split models reuse the
+        # base state verbatim
+        g_kw = dict(ngf=cfg.ngf, drop_rate=cfg.droprate,
+                    no_conv_t=cfg.nn_upconv, use_selu=cfg.use_selu,
+                    activation=cfg.activation, split_skip=True)
+        split_models = models.replace(
+            g1=get_generator("mnet", in_channels=3, out_channels=1,
+                             **g_kw),
+            g2=get_generator("mnet", in_channels=4, out_channels=3,
+                             **g_kw),
+        )
+        x = np.asarray(jax.random.uniform(
+            jax.random.key(1), (2, 256, 320, 3))) * 2 - 1
+
+        infer_base = make_infer_step(models)
+        m_ref, y_ref = jax.device_get(
+            infer_base(state.g_params, state.batch_stats, jnp.asarray(x)))
+
+        infer_split = make_infer_step(split_models)
+        mesh = make_mesh_2d(2, 4)  # spatial=4 divides H=256
+        st = shard_state(mesh, state)
+        xb = shard_images(mesh, (jnp.asarray(x),))[0]
+        m_sh, y_sh = jax.device_get(
+            infer_split(st.g_params, st.batch_stats, xb))
+        np.testing.assert_allclose(m_sh, m_ref, atol=2e-5)
+        np.testing.assert_allclose(y_sh, y_ref, atol=2e-5)
+
+
 class TestTensorParallel:
     """Tensor parallelism: conv feature channels sharded over a "model"
     mesh axis (parallel.mesh.model_sharding). The sharded step must
