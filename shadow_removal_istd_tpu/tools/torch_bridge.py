@@ -288,7 +288,9 @@ def flax_variables_to_torch(variables, flax_model, torch_model,
             raise ValueError(
                 f"shape mismatch: torch {tuple(dst.shape)} vs "
                 f"flax-converted {tuple(value.shape)}")
-        dst.copy_(torch.from_numpy(np.ascontiguousarray(value))
+        # copy=True: jax buffers arrive non-writable, and from_numpy on
+        # a read-only array raises a warning about undefined behavior
+        dst.copy_(torch.from_numpy(np.array(value, copy=True))
                   .to(dst.dtype))
 
     with torch.no_grad():
