@@ -255,10 +255,14 @@ class TestMNetSplitSkip:
 
     def test_gated_phase_affine_size(self):
         # >=4500 pre-upsample area takes the defer-d2s fast path inside
-        # the split form; both fast paths must compose
+        # the split form; both fast paths must compose. At 288x288 the
+        # outermost _Up sees 72x72 = 5184 >= 4500 (the gate reads the
+        # PRE-upsample area, image area / 16), so the parts-loop
+        # defer_d2s branch in L.Upsample actually executes — 96x96
+        # (24x24 = 576) never reaches it.
         from shadow_removal_istd_tpu.models.mnet import MNet
         rng = np.random.default_rng(3)
-        x = jnp.asarray(rng.normal(size=(1, 96, 96, 3)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(1, 288, 288, 3)).astype(np.float32))
         base = MNet(out_channels=1, ngf=8, split_skip=False)
         split = MNet(out_channels=1, ngf=8, split_skip=True)
         v = base.init(KEY, x, train=False)

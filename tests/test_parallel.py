@@ -262,8 +262,10 @@ class TestSpatialShardingWithFusedDecoder:
         # 4500, so the fused phase-affine path is ACTIVE (the gate sees
         # the decoder layer's input area = image area / 16), matching
         # real full-resolution inference (480x640 -> 120x160); H must
-        # also divide by 32 (MNet depth)
-        cfg = TrainConfig(ngf=8, ndf=8, image_size=256,
+        # also divide by 32 (MNet depth). nn_upconv=True is load-bearing:
+        # the phase-affine path only exists on the NN-upsample decoder
+        # (_Up gates on no_conv_t), and TrainConfig defaults it off.
+        cfg = TrainConfig(ngf=8, ndf=8, image_size=256, nn_upconv=True,
                           use_visual_loss=False, droprate=0.0)
         models = build_models(cfg)
         state = init_state(jax.random.key(0), cfg, models)
@@ -297,7 +299,11 @@ class TestSpatialShardingWithSplitSkip:
             shard_state,
         )
 
-        cfg = TrainConfig(ngf=8, ndf=8, image_size=256,
+        # nn_upconv=True: MNet gates split on ``split_skip and not train
+        # and no_conv_t`` — with the default (ConvTranspose) decoder the
+        # split models would silently compute the identical graph and
+        # this test would pass vacuously.
+        cfg = TrainConfig(ngf=8, ndf=8, image_size=256, nn_upconv=True,
                           use_visual_loss=False, droprate=0.0)
         models = build_models(cfg)
         state = init_state(jax.random.key(0), cfg, models)
