@@ -248,6 +248,32 @@ def set_logger(log_file: str) -> None:
     setup_logging(log_file)
 
 
+def _sync_platform_env() -> None:
+    """Make the CLI honor ``JAX_PLATFORMS`` even when jax was imported
+    before the variable could take effect.
+
+    Some environments (e.g. hosts whose sitecustomize pre-imports jax
+    to register a TPU plugin) freeze ``jax_platforms`` at interpreter
+    startup; a later ``JAX_PLATFORMS=cpu python -m ...cli.main`` then
+    silently initializes the original backend. Syncing the config from
+    the env var before the first backend use restores the documented
+    env-var contract. No-op once a backend exists (too late to switch).
+    """
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    import jax
+
+    try:
+        import jax._src.xla_bridge as xb
+        if getattr(xb, "_backends", None):
+            return  # a backend is live; switching now would fail
+    except Exception:
+        pass
+    if jax.config.jax_platforms != want:
+        jax.config.update("jax_platforms", want)
+
+
 def _select_mesh(devices: list[str], batch_size: int,
                  spatial_shard: int = 1, model_shard: int = 1):
     """Map --devices onto a JAX mesh (None = single default device).
@@ -258,20 +284,17 @@ def _select_mesh(devices: list[str], batch_size: int,
     builds a 2-D (data x spatial) mesh whose spatial axis shards image
     H rows (GSPMD conv halo exchange over ICI); ``model_shard > 1`` a
     2-D (data x model) mesh whose model axis shards conv feature
-    channels (tensor parallelism). The two are mutually exclusive.
+    channels (tensor parallelism). Both together build a 3-D
+    (data x spatial x model) mesh — forward work shards batch + H rows
+    while weights stay channel-sharded (see make_mesh_3d).
     """
     import jax
     from shadow_removal_istd_tpu.parallel.mesh import (
         make_mesh,
         make_mesh_2d,
+        make_mesh_3d,
         make_mesh_tp,
     )
-
-    if spatial_shard > 1 and model_shard > 1:
-        # a real raise, not an assert: -O must not silently build a
-        # mesh that drops one of the two requested factors
-        raise ValueError(
-            "--spatial-shard and --model-shard cannot combine (yet)")
 
     avail = jax.devices()
     if devices and devices[0].isdigit():
@@ -296,9 +319,18 @@ def _select_mesh(devices: list[str], batch_size: int,
         logger.warning("--model-shard %d > %d available devices; "
                        "capping", mp, want)
         mp = want
+    if sp * mp > want:
+        new_sp = max(1, want // mp)
+        logger.warning(
+            "--spatial-shard %d x --model-shard %d needs %d devices "
+            "but only %d are available; capping spatial to %d",
+            sp, mp, sp * mp, want, new_sp)
+        sp = new_sp
     n = min(want // (sp * mp), batch_size)
     while n > 1 and batch_size % n != 0:
         n -= 1
+    if sp > 1 and mp > 1:
+        return make_mesh_3d(max(n, 1), sp, mp, avail)
     if mp > 1:
         return make_mesh_tp(max(n, 1), mp, avail)
     if sp > 1:
@@ -309,6 +341,7 @@ def _select_mesh(devices: list[str], batch_size: int,
 
 
 def main(args) -> None:
+    _sync_platform_env()
     time_str = time.strftime("%Y%m%d-%H%M%S")
     _enable_compilation_cache()
     if args.load_args is not None:

@@ -95,7 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(args) -> None:
-    from shadow_removal_istd_tpu.cli.main import _enable_compilation_cache
+    from shadow_removal_istd_tpu.cli.main import (
+        _enable_compilation_cache,
+        _sync_platform_env,
+    )
+    _sync_platform_env()
     _enable_compilation_cache()
     time_str = time.strftime("%Y%m%d-%H%M%S")
     os.makedirs(args.logs, exist_ok=True)

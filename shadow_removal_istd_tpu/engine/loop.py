@@ -206,6 +206,28 @@ class Trainer:
         self.eval_step = make_eval_step(self.models, self.cfg, vgg_vars,
                                         return_preds=True)
         self.infer_step = make_infer_step(self.models)
+        if mesh is not None:
+            from shadow_removal_istd_tpu.parallel.mesh import (
+                MODEL_AXIS,
+                SPATIAL_AXIS,
+                gather_model_leaves,
+            )
+            if (mesh.shape.get(SPATIAL_AXIS, 1) > 1
+                    and mesh.shape.get(MODEL_AXIS, 1) > 1):
+                # Composed (data x spatial x model) mesh: forward
+                # batches are row-sharded AND state is channel-sharded,
+                # a combination XLA miscompiles in windowed convs (see
+                # gather_model_leaves). Forward steps therefore
+                # all-gather state at use (ZeRO-3 semantics — storage
+                # stays sharded); the train step is unaffected (train
+                # batches are data-sharded only, and data x model is
+                # exact).
+                base_infer, base_eval = self.infer_step, self.eval_step
+                self.infer_step = jax.jit(lambda p, s, x: base_infer(
+                    gather_model_leaves(mesh, p),
+                    gather_model_leaves(mesh, s), x))
+                self.eval_step = jax.jit(lambda st, b: base_eval(
+                    gather_model_leaves(mesh, st), b))
         from shadow_removal_istd_tpu.ops.pallas_shear import (
             should_interpret,
         )

@@ -15,9 +15,11 @@ scale past one chip's HBM).
 from shadow_removal_istd_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     distributed_init,
+    gather_model_leaves,
     image_sharding,
     make_mesh,
     make_mesh_2d,
+    make_mesh_3d,
     make_mesh_tp,
     model_sharding,
     replicated_sharding,

@@ -198,6 +198,63 @@ def make_mesh_tp(n_data: int, n_model: int,
                         axes=(DATA_AXIS, MODEL_AXIS))
 
 
+def make_mesh_3d(n_data: int, n_spatial: int, n_model: int,
+                 devices: Sequence[Any] | None = None) -> Mesh:
+    """3-D (data x spatial x model) mesh: every parallelism axis this
+    framework has, composed. Forward-only work (inference, validation)
+    shards batch over ``data`` and image H rows over ``spatial``
+    (image_sharding), while weights/BN stats/optimizer moments stay
+    channel-sharded over ``model`` in HBM (shard_state ->
+    model_sharding). Because XLA miscompiles spatially-sharded-input x
+    channel-sharded-kernel windowed convs (see gather_model_leaves),
+    forward steps on this mesh run with ZeRO-3 semantics: each state
+    leaf is all-gathered at use, so compute partitions over
+    data x spatial only. The serving configuration this serves: a wide
+    (large-ngf) model whose weights + optimizer exceed one chip's HBM,
+    run at full resolution latency-bound (at 480x640 the activations,
+    which DO stay sharded, dominate HBM anyway). ``model`` is the
+    innermost (ICI-nearest) axis: the per-leaf all-gathers are the most
+    latency-sensitive collectives, then halo exchanges, then the batch
+    axis.
+
+    Training on a 3-D mesh degrades gracefully: train batches are
+    data-sharded only (train_batch_sharding — the spatial backward is
+    guarded off, see its docstring) while true TP compute still applies
+    to the train step (data x model is exact; only the spatial
+    composition needs the gather).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = n_data * n_spatial * n_model
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.array(devices[:n]).reshape(n_data, n_spatial, n_model)
+    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS, MODEL_AXIS))
+
+
+def gather_model_leaves(mesh: Mesh, tree):
+    """Constrain every leaf of ``tree`` to replicated — call INSIDE a
+    jitted step whose state is channel-sharded over the ``model`` axis.
+
+    XLA inserts one all-gather per leaf, scheduled near its first use;
+    stored buffers stay sharded. This is ZeRO-3 / weight-gathered
+    semantics: per-chip HBM for params + optimizer state scales with
+    the model axis, while compute sees full channels.
+
+    Why it exists: XLA miscompiles a windowed (kernel > 1x1) conv whose
+    INPUT is sharded on a spatial dim while its KERNEL is sharded on
+    output channels — max|err| ~20 on a unit-normal 3x3 conv, wrong in
+    every output element, under BOTH the Shardy and legacy GSPMD
+    partitioners (jax 0.9.0, 8-device CPU mesh; 1x1 convs and matmuls
+    are exact, and either sharding alone is exact). Pinned by
+    tests/test_parallel.py::TestComposedMesh3D::test_upstream_conv_bug_still_present
+    — when that test starts failing, the workaround can be dropped and
+    true tensor-parallel compute enabled on composed meshes.
+    """
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda a: jax.lax.with_sharding_constraint(a, rep), tree)
+
+
 def model_sharding(mesh: Mesh, leaf: Any) -> NamedSharding:
     """Tensor-parallel placement rule for one state leaf.
 

@@ -79,8 +79,6 @@ class TestFlagSurface:
         assert dict(mesh.shape) == {"data": 8}
 
     def test_select_mesh_model_shard(self):
-        import pytest
-
         from shadow_removal_istd_tpu.cli.main import _select_mesh
 
         mesh = _select_mesh(["8"], batch_size=16, model_shard=4)
@@ -91,11 +89,14 @@ class TestFlagSurface:
         # capped to available devices
         mesh = _select_mesh(["8"], batch_size=4, model_shard=99)
         assert mesh.shape["model"] == 8
-        # spatial x model is rejected, not silently mis-sharded — a
-        # real ValueError so `python -O` can't strip the check
-        with pytest.raises(ValueError):
-            _select_mesh(["8"], batch_size=4, spatial_shard=2,
-                         model_shard=2)
+        # spatial x model composes into the 3-D mesh
+        mesh = _select_mesh(["8"], batch_size=4, spatial_shard=2,
+                            model_shard=2)
+        assert dict(mesh.shape) == {"data": 2, "spatial": 2, "model": 2}
+        # over-subscribed composition: spatial capped so sp*mp fits
+        mesh = _select_mesh(["8"], batch_size=4, spatial_shard=8,
+                            model_shard=4)
+        assert dict(mesh.shape) == {"data": 1, "spatial": 2, "model": 4}
 
     def test_rundir_naming(self, tmp_path):
         # run-dir names encode lr / D-type / D-loss (src/main.py:100-113)

@@ -336,6 +336,125 @@ class TestSpatialShardingWithSplitSkip:
         np.testing.assert_allclose(y_sh, y_ref, atol=2e-5)
 
 
+class TestComposedMesh3D:
+    """data x spatial x model composed on one mesh (make_mesh_3d): the
+    serving configuration for a wide model at full resolution — batch
+    and H rows sharded for latency, channel-sharded state for memory.
+    Because XLA miscompiles row-sharded-input x channel-sharded-kernel
+    windowed convs (pinned below), forward steps all-gather state at
+    use (gather_model_leaves, ZeRO-3 semantics) and must then reproduce
+    single-device math exactly."""
+
+    def test_upstream_conv_bug_still_present(self):
+        # Pins the reason gather_model_leaves exists: a 3x3 conv whose
+        # input is H-sharded and kernel output-channel-sharded computes
+        # WRONG values on a 3-axis mesh (jax 0.9.0, Shardy and legacy
+        # GSPMD alike; 1x1 convs and matmuls are exact, either sharding
+        # alone is exact). When this test starts FAILING, upstream
+        # fixed it: drop the gather-at-use wrap in engine/loop.py and
+        # let composed meshes run true TP compute.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from shadow_removal_istd_tpu.parallel import make_mesh_3d
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 16, 16, 4)).astype(np.float32)
+        k = rng.normal(size=(3, 3, 4, 8)).astype(np.float32)
+
+        @jax.jit
+        def conv(x, k):
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        ref = np.asarray(conv(x, k))
+        mesh = make_mesh_3d(2, 2, 2)
+        xb = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+        kb = jax.device_put(
+            k, NamedSharding(mesh, P(None, None, None, "model")))
+        out = np.asarray(jax.device_get(conv(xb, kb)))
+        assert np.abs(out - ref).max() > 0.1, (
+            "upstream XLA fixed the composed-sharding conv bug — "
+            "remove the gather_model_leaves workaround")
+
+    def test_3d_sharded_forward_matches_single_device(self):
+        from shadow_removal_istd_tpu.engine import make_infer_step
+        from shadow_removal_istd_tpu.parallel import (
+            gather_model_leaves,
+            make_mesh_3d,
+            shard_images,
+            shard_state,
+        )
+        from shadow_removal_istd_tpu.parallel.mesh import MODEL_AXIS
+
+        # nn_upconv=True so the phase-affine decoder path (active at
+        # 256x320: 64x80 = 5120 >= 4500) is exercised under the 3-D
+        # partitioning too, matching real full-resolution serving
+        cfg = TrainConfig(ngf=8, ndf=8, image_size=256, nn_upconv=True,
+                          use_visual_loss=False, droprate=0.0)
+        models = build_models(cfg)
+        state = init_state(jax.random.key(0), cfg, models)
+        base = make_infer_step(models)
+        x = np.asarray(jax.random.uniform(
+            jax.random.key(1), (2, 256, 320, 3))) * 2 - 1
+        m_ref, y_ref = jax.device_get(
+            base(state.g_params, state.batch_stats, jnp.asarray(x)))
+
+        mesh = make_mesh_3d(2, 2, 2)
+        st = shard_state(mesh, state)
+        # the model axis must actually split state bytes (ngf=8 widths
+        # all divide 2), not silently replicate
+        sharded = sum(
+            leaf.nbytes for leaf in jax.tree.leaves(st.g_params)
+            if any(s == MODEL_AXIS
+                   for s in getattr(leaf.sharding, "spec", ())))
+        total = sum(leaf.nbytes for leaf in jax.tree.leaves(st.g_params))
+        assert sharded / total > 0.5
+        xb = shard_images(mesh, (jnp.asarray(x),))[0]
+        assert xb.sharding.spec == jax.sharding.PartitionSpec(
+            "data", "spatial")
+        # the same wrap engine/loop.py applies on a composed mesh
+        infer = jax.jit(lambda p, s, xx: base(
+            gather_model_leaves(mesh, p), gather_model_leaves(mesh, s),
+            xx))
+        m_sh, y_sh = jax.device_get(
+            infer(st.g_params, st.batch_stats, xb))
+        np.testing.assert_allclose(m_sh, m_ref, atol=2e-5)
+        np.testing.assert_allclose(y_sh, y_ref, atol=2e-5)
+
+
+    def test_trainer_valid_epoch_on_composed_mesh(self, tmp_path):
+        # end-to-end through the Trainer: run_valid_epoch on a 3-D mesh
+        # must reproduce the mesh-less value — this exercises the
+        # gather-at-use wrap engine/loop.py installs on composed
+        # meshes (without it, eval_step computes wrong values: the
+        # upstream bug pinned above hits every windowed conv)
+        from shadow_removal_istd_tpu.data.synthetic import (
+            synthetic_triplets,
+        )
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        from shadow_removal_istd_tpu.parallel import make_mesh_3d
+
+        data = synthetic_triplets(8, 32, 32)
+        streams = {k: data[k] for k in ("img", "matte", "target")}
+        cfg = TrainConfig(ngf=8, ndf=8, image_size=32, batch_size=4,
+                          use_visual_loss=False, droprate=0.0,
+                          steps_per_epoch=2)
+
+        def mk(mesh, tag):
+            run = RunConfig(
+                logs_dir=str(tmp_path / f"l{tag}"),
+                weights_dir=str(tmp_path / f"w{tag}"),
+                checkpoint_path=str(tmp_path / f"c{tag}.msgpack"),
+                preempt_save=False)
+            return Trainer(cfg, run, mesh=mesh, train_streams=streams,
+                           valid_streams=streams)
+
+        ref = mk(None, "a").run_valid_epoch(0)
+        got = mk(make_mesh_3d(2, 2, 2), "b").run_valid_epoch(0)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
 class TestTensorParallel:
     """Tensor parallelism: conv feature channels sharded over a "model"
     mesh axis (parallel.mesh.model_sharding). The sharded step must
