@@ -127,10 +127,13 @@ class Trainer:
         # source, never paired with caller-injected streams
         streams_injected = (train_streams is not None
                             or valid_streams is not None)
-        if train_streams is None and run.data_h5:
-            train_streams, valid_streams, valid_names = self._load_h5()
-        elif train_streams is None and run.data_dirs:
-            train_streams, valid_streams, valid_names = self._load_dirs()
+        if train_streams is None and (run.data_h5 or run.data_dirs):
+            loader = self._load_h5 if run.data_h5 else self._load_dirs
+            train_streams, loaded_valid, loaded_names = loader()
+            # caller-injected validation streams take precedence over
+            # the source's test split — never silently clobber them
+            if valid_streams is None:
+                valid_streams, valid_names = loaded_valid, loaded_names
         self.valid_names = valid_names or []
 
         self.train_pipe = None
@@ -304,11 +307,21 @@ class Trainer:
                         "stream; Eval scalars fall back to the matte "
                         "proxy (tagged EvalProxy/*)")
             elif run.data_dirs:
-                parts = []
-                for d in run.data_dirs:
-                    ds = ISTDDataset(d, "test", datas=("mask",))
-                    parts.append(ds.load_all()["mask"])
-                self._valid_masks = np.concatenate(parts)
+                try:
+                    parts = []
+                    for d in run.data_dirs:
+                        ds = ISTDDataset(d, "test", datas=("mask",))
+                        parts.append(ds.load_all()["mask"])
+                    self._valid_masks = np.concatenate(parts)
+                except FileNotFoundError:
+                    # dataset without a binary test_B mask directory:
+                    # degrade to the matte proxy like the h5 branch,
+                    # don't kill the run at startup
+                    logger.warning(
+                        "--eval-metrics: no binary mask directory "
+                        "(test_B) found under %s; Eval scalars fall "
+                        "back to the matte proxy (tagged EvalProxy/*)",
+                        run.data_dirs)
 
     # ------------------------------------------------------------ data
     def _load_h5(self):
@@ -450,8 +463,9 @@ class Trainer:
         if self.epoch_fn is not None:
             return self._run_train_epoch_fused(epoch, log_scalars,
                                                visualize)
-        need_sums = (log_scalars or visualize
-                     or self.plateau_g is not None)
+        # metric collection is for scalar logging / the plateau
+        # scheduler only; a visualize-only epoch just needs one batch
+        need_sums = log_scalars or self.plateau_g is not None
         collected = []  # lazy device arrays; one device_get at epoch end
         vis_batch = None
         scale_g = self.plateau_g.scale if self.plateau_g else 1.0
@@ -465,8 +479,8 @@ class Trainer:
                 self.state, batch, k_step, scale_g, scale_d)
             if need_sums:
                 collected.append(metrics)
-                if vis_batch is None:
-                    vis_batch = batch
+            if visualize and vis_batch is None:
+                vis_batch = batch
         n = len(collected)
         if need_sums and n:
             got = jax.device_get(collected)

@@ -72,17 +72,28 @@ def make_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
                    donate_argnums=(0,))
 
 
+def _make_vis_fns(cfg: TrainConfig, vgg_vars):
+    """Per-term perceptual-loss closures: (vis1 for lambda4, vis2 for
+    lambda5). Gated INDIVIDUALLY — zeroing one lambda must not keep
+    paying that term's two VGG-19 forwards per step for a value that is
+    then multiplied by zero (reference runs both unconditionally,
+    src/cgan.py:334-340; same numbers, none of the waste)."""
+    base = cfg.use_visual_loss and vgg_vars is not None
+
+    def make(lam):
+        if base and lam != 0:
+            return lambda pred, target: visual_loss(vgg_vars, pred,
+                                                    target)
+        return lambda pred, target: jnp.zeros(())
+
+    return make(cfg.lambda4), make(cfg.lambda5)
+
+
 def _unjitted_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
     """The raw (unjitted) step — also scanned over by engine/epoch.py."""
     adv = make_adversarial_loss(cfg.d_loss_fn, cfg.d_type, cfg.loss_mode)
     tx_g, tx_d = make_optimizers(cfg)
-    use_vis = cfg.use_visual_loss and vgg_vars is not None \
-        and (cfg.lambda4 != 0 or cfg.lambda5 != 0)
-
-    def _vis(pred, target):
-        if not use_vis:
-            return jnp.zeros(())
-        return visual_loss(vgg_vars, pred, target)
+    _vis1, _vis2 = _make_vis_fns(cfg, vgg_vars)
 
     def train_step(state: TrainState, batch, rng,
                    lr_scale_g=1.0, lr_scale_d=1.0):
@@ -178,8 +189,8 @@ def _unjitted_train_step(models: Models, cfg: TrainConfig, vgg_vars=None):
                 g2 = adv.g_loss(c2_real, c2_fake)
             data1 = l1_loss(m_pred, m)
             data2 = l1_loss(y_pred, y)
-            vis1 = _vis(m_pred, m)
-            vis2 = _vis(y_pred, y)
+            vis1 = _vis1(m_pred, m)
+            vis2 = _vis2(y_pred, y)
             if cfg.softadapt:
                 # dynamic weighting of the (adv, data, visual) groups —
                 # the reference's dormant SoftAdapt design fed RAW group
@@ -260,13 +271,7 @@ def make_eval_step(models: Models, cfg: TrainConfig, vgg_vars=None,
     adversarial terms computed from the D-phase scores.
     """
     adv = make_adversarial_loss(cfg.d_loss_fn, cfg.d_type, cfg.loss_mode)
-    use_vis = cfg.use_visual_loss and vgg_vars is not None \
-        and (cfg.lambda4 != 0 or cfg.lambda5 != 0)
-
-    def _vis(pred, target):
-        if not use_vis:
-            return jnp.zeros(())
-        return visual_loss(vgg_vars, pred, target)
+    _vis1, _vis2 = _make_vis_fns(cfg, vgg_vars)
 
     def eval_step(state: TrainState, batch):
         x, m, y = batch
@@ -298,8 +303,8 @@ def make_eval_step(models: Models, cfg: TrainConfig, vgg_vars=None,
             g2 = adv.g_loss(c2_real, c2_fake)
         data1 = l1_loss(m_pred, m)
         data2 = l1_loss(y_pred, y)
-        vis1 = _vis(m_pred, m)
-        vis2 = _vis(y_pred, y)
+        vis1 = _vis1(m_pred, m)
+        vis2 = _vis2(y_pred, y)
         g_total = (data1 + cfg.lambda1 * data2 + cfg.lambda2 * g1
                    + cfg.lambda3 * g2 + cfg.lambda4 * vis1
                    + cfg.lambda5 * vis2)

@@ -24,6 +24,7 @@ float32); normalization to [-1,1] happens on device in the same kernel.
 from __future__ import annotations
 
 from dataclasses import dataclass
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -85,9 +86,32 @@ def sample_augment_params(key: jax.Array, batch: int,
         k_angle, (batch,), minval=-cfg.angle, maxval=cfg.angle)
     # Reference flips when rand() <= flip_prob (src/transform.py:109).
     flip = jax.random.uniform(k_flip, (batch,)) <= cfg.flip_prob
-    # randint(low=0, high=size - crop) — exclusive high, like np.random.
-    row_off = jax.random.randint(k_row, (batch,), 0, max(h - cfg.crop_size, 1))
-    col_off = jax.random.randint(k_col, (batch,), 0, max(w - cfg.crop_size, 1))
+
+    def _off_range(dim: int) -> tuple[int, int]:
+        # Reference RandomCrop (src/transform.py:132-152): crop inside
+        # the image draws randint(0, dim - crop); a crop LARGER than
+        # the image zero-pads symmetrically and draws over the padded
+        # canvas, which relative to the image is [-(crop - dim), 0) —
+        # the image lands at a random position inside the black crop.
+        # (affine_warp zero-fills out-of-bounds taps, so a negative
+        # offset reproduces the padding.) Divergence kept: dim == crop
+        # returns offset 0, where the reference's randint(0, 0) raises.
+        if dim > cfg.crop_size:
+            return 0, dim - cfg.crop_size
+        if dim == cfg.crop_size:
+            return 0, 1
+        return -(cfg.crop_size - dim), 0
+
+    r_lo, r_hi = _off_range(h)
+    c_lo, c_hi = _off_range(w)
+    if r_lo < 0 or c_lo < 0:
+        logging.getLogger(__name__).warning(
+            "crop_size %d exceeds the %dx%d image: crops are zero-"
+            "padded with the image randomly placed (reference "
+            "RandomCrop padding semantics, src/transform.py:133-152)",
+            cfg.crop_size, h, w)
+    row_off = jax.random.randint(k_row, (batch,), r_lo, r_hi)
+    col_off = jax.random.randint(k_col, (batch,), c_lo, c_hi)
     return {"scale": scale, "angle": angle, "flip": flip,
             "row_off": row_off, "col_off": col_off}
 

@@ -1,4 +1,6 @@
 """Engine tests: the jitted adversarial train step, eval step, modes."""
+import os
+
 import numpy as np
 import pytest
 
@@ -294,6 +296,55 @@ class TestEvalMetricsProtocol:
         # the ragged final batch) without error
         total = tr.run_valid_epoch(0)
         assert np.isfinite(total)
+
+    def test_missing_mask_dir_degrades_to_proxy(self, tmp_path):
+        # a directory dataset WITHOUT test_B must not crash Trainer
+        # init under --eval-metrics; it degrades to the matte proxy
+        # like the reference-layout h5 branch
+        import shutil
+
+        from shadow_removal_istd_tpu.data.synthetic import (
+            write_istd_layout,
+        )
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        root = str(tmp_path / "ISTD")
+        write_istd_layout(root, n_train=4, n_test=3, h=64, w=64)
+        shutil.rmtree(os.path.join(root, "test", "test_B"))
+        cfg = tiny_cfg(lambda4=0.0, lambda5=0.0, batch_size=2,
+                       image_size=32)
+        run = RunConfig(data_dirs=(root,), eval_metrics=True,
+                        logs_dir=str(tmp_path / "logs"),
+                        weights_dir=str(tmp_path / "w"))
+        tr = Trainer(cfg, run)
+        assert tr._valid_masks is None
+        assert not tr._has_protocol_masks()  # -> EvalProxy tag
+
+    def test_injected_valid_streams_not_clobbered(self, tmp_path):
+        # injecting valid_streams while train comes from a directory
+        # source must keep the injected validation data (it used to be
+        # silently replaced by the source's test split)
+        from shadow_removal_istd_tpu.data.synthetic import (
+            write_istd_layout,
+        )
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        root = str(tmp_path / "ISTD")
+        write_istd_layout(root, n_train=4, n_test=3, h=64, w=64)
+        n_inj = 5  # != the source's 3 test samples
+        streams = {
+            "img": np.zeros((n_inj, 32, 32, 3), np.uint8),
+            "matte": np.zeros((n_inj, 32, 32, 1), np.uint8),
+            "target": np.zeros((n_inj, 32, 32, 3), np.uint8),
+        }
+        cfg = tiny_cfg(lambda4=0.0, lambda5=0.0, batch_size=2,
+                       image_size=32)
+        run = RunConfig(data_dirs=(root,),
+                        logs_dir=str(tmp_path / "logs"),
+                        weights_dir=str(tmp_path / "w"))
+        names = [f"inj{i}" for i in range(n_inj)]
+        tr = Trainer(cfg, run, valid_streams=streams, valid_names=names)
+        assert tr.valid_names == names
+        assert len(tr.valid_pipe) == -(-n_inj // cfg.batch_size)
+        assert tr.train_pipe is not None  # train still from the source
 
     def test_injected_streams_fall_back_to_proxy(self):
         from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer

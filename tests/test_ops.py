@@ -194,6 +194,37 @@ class TestAugment:
                     found = True
         assert found
 
+    def test_crop_larger_than_image_pads_like_reference(self, rng):
+        # Reference RandomCrop (src/transform.py:133-152): a crop
+        # target larger than the image zero-pads and places the image
+        # at a RANDOM position inside the black crop. Our fused warp
+        # reproduces that with negative offsets + zero-fill.
+        img = rng.integers(1, 256, size=(16, 40, 40, 3), dtype=np.uint8)
+        cfg = AugmentConfig(scale=0.0, angle=0.0, flip_prob=0.0,
+                            crop_size=64)
+        (out,) = augment_batch(jax.random.key(2), (jnp.asarray(img),),
+                               cfg)
+        out = np.asarray(out)
+        assert out.shape == (16, 64, 64, 3)
+        # zero-fill normalizes to -1: each crop has exactly 40*40
+        # non-border pixels
+        live = (out > -1 + 1e-6).any(axis=-1)
+        assert (live.sum(axis=(1, 2)) == 40 * 40).all()
+        # and the placement is randomized across the batch, not pinned
+        corners = {tuple(np.argwhere(lv)[0]) for lv in live}
+        assert len(corners) > 1, corners
+
+    def test_crop_equal_to_image_is_identity_offset(self, rng):
+        # dim == crop: offset 0 (the reference's randint(0, 0) would
+        # raise — documented divergence in sample_augment_params)
+        img = rng.integers(0, 256, size=(2, 64, 64, 3), dtype=np.uint8)
+        cfg = AugmentConfig(scale=0.0, angle=0.0, flip_prob=0.0,
+                            crop_size=64)
+        (out,) = augment_batch(jax.random.key(0), (jnp.asarray(img),),
+                               cfg)
+        full = img.astype(np.float32) * (2 / 255) - 1
+        np.testing.assert_allclose(np.asarray(out), full, atol=1e-4)
+
     def test_normalize_roundtrip(self, rng):
         img = rng.integers(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
         (norm,) = normalize_batch((jnp.asarray(img),))
