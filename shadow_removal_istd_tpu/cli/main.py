@@ -248,6 +248,18 @@ def set_logger(log_file: str) -> None:
     setup_logging(log_file)
 
 
+def prepare_run_dirs(args) -> None:
+    """Reference order (src/main.py:24-40): makedirs and the args.json
+    snapshot come FIRST, from the current invocation's flags; only then
+    does --load-args overlay the stored run's flags — so run-dir naming
+    and the snapshot reflect what the user typed, and tooling that
+    locates run dirs by the reference's convention keeps working."""
+    makedirs(args)
+    snapshotargs(args)
+    if args.load_args is not None:
+        load_args(args)
+
+
 def _sync_platform_env() -> None:
     """Make the CLI honor ``JAX_PLATFORMS`` even when jax was imported
     before the variable could take effect.
@@ -344,10 +356,7 @@ def main(args) -> None:
     _sync_platform_env()
     time_str = time.strftime("%Y%m%d-%H%M%S")
     _enable_compilation_cache()
-    if args.load_args is not None:
-        load_args(args)
-    makedirs(args)
-    snapshotargs(args)
+    prepare_run_dirs(args)
     if args.manual_seed != -1:
         set_manual_seed(args.manual_seed)
     set_logger(os.path.join(args.logs, f"main-{time_str}.log"))

@@ -127,17 +127,35 @@ def build_h5(out_path: str, root_dir: str, subsets=("train", "test"),
             imgs = data["img"].astype(np.float32) / 255.0
             targets = data["target"].astype(np.float32) / 255.0
             sps = []
+            n_loaded = 0
             for i in range(len(ds)):
                 stem = os.path.basename(ds.filename(i))
                 npy = None
                 if sp_dir is not None:
-                    cand = os.path.join(sp_dir, subset, f"{stem}.npy")
-                    npy = cand if os.path.isfile(cand) else None
+                    # tools/preprocess.py writes
+                    # <root>/<subset>/sp/<stem>.npy; also accept the
+                    # flat <sp_dir>/<subset>/<stem>.npy layout
+                    for cand in (
+                            os.path.join(sp_dir, subset, "sp",
+                                         f"{stem}.npy"),
+                            os.path.join(sp_dir, subset, f"{stem}.npy")):
+                        if os.path.isfile(cand):
+                            npy = cand
+                            break
                 if npy is not None:
+                    n_loaded += 1
                     sps.append(np.load(npy).astype(np.float32))
                 else:
                     sps.append(compute_sp(data["img"][i],
                                           data["target"][i]))
+            if sp_dir is not None and n_loaded < len(ds):
+                import logging
+                logging.getLogger(__name__).warning(
+                    "build_h5: %d/%d sp files found under %s for subset "
+                    "%s; the rest were recomputed from %s_C_fixed (run "
+                    "tools/preprocess.py, or check the layout "
+                    "<sp_dir>/<subset>/sp/<stem>.npy)",
+                    n_loaded, len(ds), sp_dir, subset, subset)
             grp = h5.create_group(subset)
             grp.create_dataset("input_img", data=imgs)
             grp.create_dataset("target_img", data=targets)

@@ -85,8 +85,11 @@ class ISTDDataset:
         return len(self._files[self.datas[0]])
 
     def filename(self, idx: int) -> str:
-        stem = os.path.splitext(
-            os.path.basename(self._files["img"][idx]))[0]
+        # any stream works: files align by stem across streams. Not
+        # hard-coded to "img" so mask-/target-only datasets (e.g. the
+        # engine's protocol-mask loader) support item access too.
+        files = next(iter(self._files.values()))
+        stem = os.path.splitext(os.path.basename(files[idx]))[0]
         return os.path.join(self.name, stem) if self.name else stem
 
     def __getitem__(self, idx: int):

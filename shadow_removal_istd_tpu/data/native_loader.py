@@ -37,11 +37,17 @@ def build(force: bool = False) -> bool:
         return False
 
 
+_load_failed = False
+
+
 def _load():
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None  # don't re-run a failing `make` on every call
     if not os.path.isfile(_LIB_PATH) and not build():
+        _load_failed = True
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.srit_png_probe.argtypes = [

@@ -87,7 +87,10 @@ def all_metrics(dir1: str, dir2: str, size: int | None = None,
         if maskdir is not None:
             mask = imread_gray(
                 os.path.join(maskdir, f)).astype(np.float32) / 255.0
-            mask = _resize(mask, img1.shape[:2])
+            # the reference resizes the mask here with skimage's
+            # DEFAULT anti-aliasing (eval.py:68-70 passes no
+            # anti_aliasing flag -> gaussian prefilter on downscale)
+            mask = _antialias_mask(mask, img1.shape[:2])
         else:
             mask = np.ones(img1.shape[:2], np.float32)
         if size is not None:
@@ -114,13 +117,31 @@ def all_metrics(dir1: str, dir2: str, size: int | None = None,
     return results
 
 
+def _image_shape(path: str) -> tuple[int, int]:
+    """(H, W) without a full decode where possible: PNG IHDR probe
+    (width/height big-endian at bytes 16-24); full decode otherwise."""
+    with open(path, "rb") as f:
+        head = f.read(26)
+    if head[:8] == b"\x89PNG\r\n\x1a\n" and len(head) >= 24:
+        w = int.from_bytes(head[16:20], "big")
+        h = int.from_bytes(head[20:24], "big")
+        return (h, w)
+    return imread_color(path).shape[:2]
+
+
 def _try_all_metrics_batched(dir1, dir2, maskdir, files, size,
                              batch_size):
-    """Batched on-device path; returns None when shapes are mixed."""
+    """Batched on-device path; returns None when shapes are mixed.
+
+    Mixed resolutions are detected with a header probe BEFORE any
+    decoding, so the per-image fallback never repeats work this path
+    already did."""
     import jax
 
-    first = _load_rgb01(os.path.join(dir1, files[0]))
-    shape = first.shape
+    shapes = {_image_shape(os.path.join(dir1, f)) for f in files}
+    if len(shapes) != 1:
+        return None  # mixed resolutions: per-image path
+    hw = next(iter(shapes))
 
     @jax.jit
     def run(a, b, m):
@@ -132,12 +153,10 @@ def _try_all_metrics_batched(dir1, dir2, maskdir, files, size,
         imgs1, imgs2, masks = [], [], []
         for f in chunk:
             i1 = _load_rgb01(os.path.join(dir1, f))
-            if i1.shape != shape:
-                return None  # mixed resolutions: per-image path
-            i2 = _resize(_load_rgb01(os.path.join(dir2, f)), shape[:2])
+            i2 = _resize(_load_rgb01(os.path.join(dir2, f)), hw)
             mask = imread_gray(
                 os.path.join(maskdir, f)).astype(np.float32) / 255.0
-            mask = _resize(mask, shape[:2])
+            mask = _antialias_mask(mask, hw)  # skimage-default AA
             if size is not None:
                 i1 = _resize(i1, (size, size))
                 i2 = _resize(i2, (size, size))
@@ -163,7 +182,11 @@ def main(argv=None):
     parser.add_argument("--logfile", default="./eval.log")
     args = parser.parse_args(argv)
 
-    logging.basicConfig(level=logging.INFO)
+    from shadow_removal_istd_tpu.cli.main import _sync_platform_env
+    _sync_platform_env()  # honor JAX_PLATFORMS under pre-imported jax
+    from shadow_removal_istd_tpu.utils.logging_utils import setup_logging
+    setup_logging(args.logfile)  # console + the requested log file,
+    # like the reference's set_logger(args.logfile) (src/eval.py:166-172)
     # Snapshot args next to the logfile, not the cwd (the reference's
     # eval.py writes ./args.json wherever it runs — a quirk we fix).
     snap_dir = os.path.dirname(os.path.abspath(args.logfile))

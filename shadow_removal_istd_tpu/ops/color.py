@@ -13,6 +13,8 @@ converts between the two worlds.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 # sRGB (linear) -> XYZ, D65 white point. skimage defines rgb_from_xyz
@@ -20,14 +22,17 @@ import jax.numpy as jnp
 # (colorconv.xyz_from_rgb = inv(rgb_from_xyz)) — these are that inverse
 # to full float32 precision, NOT the older rounded 0.412453... matrix
 # (which differs by ~0.004 LAB units).
-_XYZ_FROM_RGB = jnp.array(
+# Plain numpy, NOT jnp: a module-level jnp.array would initialize the
+# jax backend at import time, before a CLI's main() can pick the
+# platform (jnp ops close over these and convert at trace time).
+_XYZ_FROM_RGB = np.array(
     [[0.412456432268236, 0.357576076280027, 0.180437480294450],
      [0.212672846318362, 0.715152167154881, 0.072174999573213],
      [0.019333904103299, 0.119192028243221, 0.950304073677404]],
-    dtype=jnp.float32)
+    dtype=np.float32)
 
 # D65 reference white (skimage "D65", 2-degree observer).
-_WHITE_D65 = jnp.array([0.95047, 1.0, 1.08883], dtype=jnp.float32)
+_WHITE_D65 = np.array([0.95047, 1.0, 1.08883], dtype=np.float32)
 
 
 def bgr_to_rgb(img: jnp.ndarray) -> jnp.ndarray:

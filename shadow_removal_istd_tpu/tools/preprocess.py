@@ -68,10 +68,15 @@ def main(argv=None):
     parser.add_argument("--path", default="../ISTD_DATASET")
     parser.add_argument("--subset", default="train",
                         choices=["train", "test"])
-    parser.add_argument("--save-sp", type=bool, nargs="?", const=True,
-                        default=True)
-    parser.add_argument("--save-img", type=bool, nargs="?", const=True,
-                        default=False)
+    # the reference uses type=bool here (src/preprocess.py), where any
+    # non-empty string — including "false"/"no" — parses as True and
+    # the flags cannot be switched off; fixed with a real bool parser
+    # (PARITY.md quirk ledger)
+    from shadow_removal_istd_tpu.cli.main import str2bool
+    parser.add_argument("--save-sp", type=str2bool, nargs="?",
+                        const=True, default=True)
+    parser.add_argument("--save-img", type=str2bool, nargs="?",
+                        const=True, default=False)
     args = parser.parse_args(argv)
     n = process_split(args.path, args.subset, args.save_sp, args.save_img)
     print(f"completed preprocessing of {n} files", file=sys.stderr)

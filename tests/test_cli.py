@@ -126,6 +126,28 @@ class TestFlagSurface:
         assert args2.ngf == 32          # restored
         assert args2.logs == "/other"   # preserved
 
+    def test_snapshot_and_dirs_precede_load_args(self, tmp_path):
+        # reference order (src/main.py:24-40): dirs + args.json come
+        # from the CURRENT invocation; --load-args overlays afterwards
+        from shadow_removal_istd_tpu.cli.main import prepare_run_dirs
+        old = build_parser().parse_args(
+            ["--tasks", "train", "--lr-G", "0.001",
+             "--logs", str(tmp_path)])
+        snapshotargs(old)
+        snap = tmp_path / "args.json"
+        new = build_parser().parse_args(
+            ["--tasks", "train", "--load-args", str(snap),
+             "--weights", str(tmp_path / "w"),
+             "--logs", str(tmp_path / "new")])
+        prepare_run_dirs(new)
+        # run-dir suffix encodes the DEFAULT lr of this invocation,
+        # not the loaded 0.001
+        assert "_lr0.00050_" in new.logs and os.path.isdir(new.logs)
+        with open(os.path.join(new.logs, "args.json")) as fp:
+            written = json.load(fp)
+        assert written["lr_G"] == 0.0005  # snapshot = typed flags
+        assert new.lr_G == 0.001          # ...then the overlay applied
+
 
 @pytest.mark.slow
 class TestEndToEnd:

@@ -124,6 +124,38 @@ class TestH5:
         # normalization applied: values not in [0,1] anymore
         assert img.min() < 0
 
+    def test_build_uses_precomputed_sp(self, tmp_path):
+        # sp_dir must pick up tools/preprocess.py's actual output
+        # layout <root>/<subset>/sp/<stem>.npy (it used to look one
+        # path component off and silently recompute)
+        h5py = pytest.importorskip("h5py")  # noqa: F841
+        from shadow_removal_istd_tpu.data.h5 import build_h5
+        from shadow_removal_istd_tpu.data.synthetic import (
+            write_istd_layout,
+        )
+        from shadow_removal_istd_tpu.tools.preprocess import (
+            process_split,
+        )
+        root = str(tmp_path / "istd")
+        write_istd_layout(root, n_train=2, n_test=1, h=24, w=32)
+        process_split(root, "train", save_sp=True, save_img=False)
+        sp_dir = os.path.join(root, "train", "sp")
+        sentinel_file = os.path.join(sp_dir, sorted(os.listdir(sp_dir))[0])
+        np.save(sentinel_file.removesuffix(".npy"),
+                np.full((24, 32, 3), 7.5, np.float32))
+        path = str(tmp_path / "istd.h5")
+        build_h5(path, root, subsets=("train",), sp_dir=root)
+        with h5py.File(path, "r") as f:
+            sp0 = f["train"]["sp"][0]
+        np.testing.assert_array_equal(sp0, 7.5)
+
+    def test_filename_without_img_stream(self, istd_root):
+        # mask-only datasets support item access: filename() must not
+        # hard-index the "img" stream
+        ds = ISTDDataset(istd_root, "test", datas=("mask",))
+        name, mask = ds[0]
+        assert name and mask.shape[:2] == (48, 64)
+
     def test_load_streams_roundtrips_directory_data(self, istd_root,
                                                     tmp_path):
         """Trainer-format uint8 streams from the H5 file match the

@@ -130,6 +130,51 @@ class TestEvalCLI:
         assert "psnr" in res2 and "ssim" in res2
         assert 0 < res2["ssim"] <= 1
 
+    def test_logfile_written_and_header_probe(self, tmp_path, rng):
+        # --logfile must actually receive the metric lines (the
+        # reference's set_logger installs a FileHandler); also pins the
+        # PNG header shape probe the batched path uses
+        import logging
+        import os
+
+        from shadow_removal_istd_tpu.metrics.eval_cli import (
+            _image_shape,
+            main,
+        )
+        from shadow_removal_istd_tpu.utils.image_io import imwrite
+        d1 = tmp_path / "a"
+        os.makedirs(d1)
+        img = rng.integers(0, 256, (16, 24, 3), np.uint8)
+        imwrite(str(d1 / "x.png"), img)
+        assert _image_shape(str(d1 / "x.png")) == (16, 24)
+        log = tmp_path / "logs" / "eval.log"
+        try:
+            main([str(d1), str(d1), "--logfile", str(log)])
+        finally:
+            # drop the FileHandler so later tests' logging is unaffected
+            for h in list(logging.getLogger().handlers):
+                logging.getLogger().removeHandler(h)
+        text = log.read_text()
+        assert "rmse_all" in text
+
+    def test_mask_at_different_resolution_runs(self, tmp_path, rng):
+        # mask stored at 2x the image resolution: the first resize
+        # applies skimage-default anti-aliasing before binarization
+        import os
+
+        from shadow_removal_istd_tpu.metrics.eval_cli import all_metrics
+        from shadow_removal_istd_tpu.utils.image_io import imwrite
+        d1, d2, dm = (tmp_path / n for n in ("pred", "gt", "mask"))
+        for d in (d1, d2, dm):
+            os.makedirs(d)
+        img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        mask = (rng.uniform(size=(32, 32)) > 0.5).astype(np.uint8) * 255
+        imwrite(str(d1 / "x.png"), img)
+        imwrite(str(d2 / "x.png"), img)
+        imwrite(str(dm / "x.png"), mask)
+        res = all_metrics(str(d1), str(d2), size=None, maskdir=str(dm))
+        assert res["rmse_all"] == pytest.approx(0.0, abs=1e-4)
+
     def test_identical_dirs_zero_error(self, tmp_path, rng):
         from shadow_removal_istd_tpu.metrics.eval_cli import all_metrics
         from shadow_removal_istd_tpu.utils.image_io import imwrite

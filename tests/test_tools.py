@@ -38,6 +38,21 @@ class TestPreprocess:
         sp = np.load(os.path.join(root, "train", "sp", sp_files[0]))
         assert sp.shape == (24, 32, 3)
 
+    def test_save_flags_parse_false(self, tmp_path):
+        # the reference's type=bool parses "--save-img false" as True
+        # (any non-empty string is truthy) — we use a real bool parser
+        from shadow_removal_istd_tpu.data.synthetic import (
+            write_istd_layout,
+        )
+        from shadow_removal_istd_tpu.tools.preprocess import main
+        root = str(tmp_path)
+        write_istd_layout(root, n_train=2, n_test=1, h=24, w=32)
+        main(["--path", root, "--subset", "train",
+              "--save-sp", "false", "--save-img", "false"])
+        assert not os.path.isdir(os.path.join(root, "train", "sp"))
+        assert not os.path.isdir(
+            os.path.join(root, "train", "sp_restored_img"))
+
 
 class TestColorAdjustment:
     def test_recovers_known_affine(self, rng):
