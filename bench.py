@@ -22,12 +22,9 @@ Prints exactly one JSON line:
 import json
 import time
 
-import jax
-import jax.numpy as jnp
+from benchmarks.common import build_stacked, enable_cache
 
-jax.config.update("jax_compilation_cache_dir",
-                  "/root/.cache/srit_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_cache()
 
 # Estimated reference throughput: PyTorch MNet G1+G2 (12.4M params each,
 # fp32, NCHW) at 256^2 on a single V100/2080Ti-class GPU is ~100-150
@@ -45,37 +42,8 @@ ITERS = 5
 
 
 def build():
-    from shadow_removal_istd_tpu.models import get_generator
-
-    g1 = get_generator("mnet", in_channels=3, out_channels=1)
-    g2 = get_generator("mnet", in_channels=4, out_channels=3)
-    k = jax.random.key(0)
-    # materialize params from shapes only (values don't affect timing);
-    # running the real init forward would cost minutes of compile on a
-    # cold cache.
-    s1 = jax.eval_shape(g1.init, {"params": k},
-                        jnp.zeros((1, SIZE, SIZE, 3)))
-    s2 = jax.eval_shape(g2.init, {"params": k},
-                        jnp.zeros((1, SIZE, SIZE, 4)))
-    fill = lambda tree: jax.tree.map(  # noqa: E731
-        lambda s: (jnp.full(s.shape, 0.01, jnp.bfloat16)
-                   if s.dtype == jnp.float32
-                   else jnp.zeros(s.shape, s.dtype)), tree)
-    v1, v2 = fill(s1), fill(s2)
-
-    @jax.jit
-    def scanned(v1, v2, xs):
-        def body(acc, x):
-            m = g1.apply(v1, x)
-            y = g2.apply(v2, jnp.concatenate([x, m], axis=-1))
-            return acc + jnp.sum(y.astype(jnp.float32)), None
-        total, _ = jax.lax.scan(body, jnp.zeros(()), xs)
-        return total
-
-    xs = jax.random.uniform(
-        jax.random.key(1), (STEPS, BATCH, SIZE, SIZE, 3),
-        jnp.bfloat16) * 2 - 1
-    return scanned, v1, v2, xs
+    # shared with benchmarks/ (same scan/fill/readback discipline)
+    return build_stacked(SIZE, SIZE, batch=BATCH, steps=STEPS)
 
 
 # v5e (TPU v5 lite) single-chip bf16 peak, for the MFU report.

@@ -29,45 +29,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
+from benchmarks.common import build_stacked, enable_cache
 
-jax.config.update("jax_compilation_cache_dir",
-                  "/root/.cache/srit_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_cache()
 
 
 def measure(split: bool, size: int, width: int, batch: int,
             steps: int, iters: int = 5) -> float:
-    from shadow_removal_istd_tpu.models import get_generator
-
-    g1 = get_generator("mnet", in_channels=3, out_channels=1,
-                       split_skip=split)
-    g2 = get_generator("mnet", in_channels=4, out_channels=3,
-                       split_skip=split)
-    k = jax.random.key(0)
-    s1 = jax.eval_shape(g1.init, {"params": k},
-                        jnp.zeros((1, size, width, 3)))
-    s2 = jax.eval_shape(g2.init, {"params": k},
-                        jnp.zeros((1, size, width, 4)))
-    fill = lambda tree: jax.tree.map(  # noqa: E731
-        lambda s: (jnp.full(s.shape, 0.01, jnp.bfloat16)
-                   if s.dtype == jnp.float32
-                   else jnp.zeros(s.shape, s.dtype)), tree)
-    v1, v2 = fill(s1), fill(s2)
-
-    @jax.jit
-    def scanned(v1, v2, xs):
-        def body(acc, x):
-            m = g1.apply(v1, x)
-            y = g2.apply(v2, jnp.concatenate([x, m], axis=-1))
-            return acc + jnp.sum(y.astype(jnp.float32)), None
-        total, _ = jax.lax.scan(body, jnp.zeros(()), xs)
-        return total
-
-    xs = jax.random.uniform(
-        jax.random.key(1), (steps, batch, size, width, 3),
-        jnp.bfloat16) * 2 - 1
+    scanned, v1, v2, xs = build_stacked(size, width, batch=batch,
+                                        steps=steps, split_skip=split)
     for _ in range(2):
         float(scanned(v1, v2, xs))  # warmup; host readback = hard sync
     t0 = time.perf_counter()

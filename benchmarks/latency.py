@@ -34,16 +34,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  "/root/.cache/srit_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from benchmarks.common import enable_cache, fill_params_bf16
 
-
-def _fill_bf16(tree):
-    return jax.tree.map(
-        lambda s: (jnp.full(s.shape, 0.01, jnp.bfloat16)
-                   if s.dtype == jnp.float32
-                   else jnp.zeros(s.shape, s.dtype)), tree)
+enable_cache()
 
 
 def _percentiles(samples_ms):
@@ -76,11 +69,8 @@ def measure(h: int, w: int, batch: int, iters: int,
 
     g1 = get_generator("mnet", in_channels=3, out_channels=1)
     g2 = get_generator("mnet", in_channels=4, out_channels=3)
-    k = jax.random.key(0)
-    v1 = _fill_bf16(jax.eval_shape(g1.init, {"params": k},
-                                   jnp.zeros((1, h, w, 3))))
-    v2 = _fill_bf16(jax.eval_shape(g2.init, {"params": k},
-                                   jnp.zeros((1, h, w, 4))))
+    v1 = fill_params_bf16(g1, (1, h, w, 3))
+    v2 = fill_params_bf16(g2, (1, h, w, 4))
 
     @jax.jit
     def step(v1, v2, x):

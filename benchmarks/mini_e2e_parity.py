@@ -250,16 +250,21 @@ def main(argv=None):
     t_torch = time.time() - t0
 
     # ---- render + protocol scoring ---------------------------------
-    import torch as _torch
-    tG1, tG2 = nets[0], nets[1]
-    tG1.eval()
-    tG2.eval()
-    with _torch.no_grad():
-        tx = _torch.tensor(x_all).permute(0, 3, 1, 2)
-        tm_p = tG1(tx)
-        ty_p = tG2(_torch.cat((tx, tm_p), dim=1))
-    torch_y = np.clip((ty_p.permute(0, 2, 3, 1).numpy() * 0.5 + 0.5)
-                      * 255.0, 0, 255).astype(np.uint8)
+    torch_y = None
+    if not args.skip_torch:
+        # only score torch when it actually trained: an untrained
+        # render would emit a bogus rmse_all_torch/relative_gap that is
+        # indistinguishable from a real parity result downstream
+        import torch as _torch
+        tG1, tG2 = nets[0], nets[1]
+        tG1.eval()
+        tG2.eval()
+        with _torch.no_grad():
+            tx = _torch.tensor(x_all).permute(0, 3, 1, 2)
+            tm_p = tG1(tx)
+            ty_p = tG2(_torch.cat((tx, tm_p), dim=1))
+        torch_y = np.clip((ty_p.permute(0, 2, 3, 1).numpy() * 0.5 + 0.5)
+                          * 255.0, 0, 255).astype(np.uint8)
 
     mm = models.g1.apply({"params": state.g_params["g1"],
                           "batch_stats": state.batch_stats["g1"]},
@@ -273,26 +278,33 @@ def main(argv=None):
 
     target_u8 = raw["target"]
     mask_u8 = raw["mask"]
-    res_torch = eval_outputs(torch_y, target_u8, mask_u8)
     res_jax = eval_outputs(jax_y, target_u8, mask_u8)
     res_input = eval_outputs(raw["img"], target_u8, mask_u8)
 
-    gap = abs(res_jax["rmse_all"] - res_torch["rmse_all"]) / max(
-        res_torch["rmse_all"], 1e-9)
-    print(json.dumps({
+    result = {
         "metric": "mini e2e accuracy parity (LAB RMSE all-region)",
         "net_d": args.net_d, "order_seed": args.order_seed,
         "epochs": args.epochs, "images": args.n, "size": args.size,
-        "rmse_all_torch": round(res_torch["rmse_all"], 4),
         "rmse_all_jax": round(res_jax["rmse_all"], 4),
-        "rmse_shadow_torch": round(res_torch["rmse"], 4),
         "rmse_shadow_jax": round(res_jax["rmse"], 4),
         "rmse_all_untrained_input": round(res_input["rmse_all"], 4),
         "rmse_shadow_untrained_input": round(res_input["rmse"], 4),
-        "relative_gap": round(gap, 4),
-        "train_s_torch_cpu": round(t_torch, 1),
         "train_s_jax": round(t_jax, 1),
-    }))
+    }
+    gap = None
+    if torch_y is not None:
+        res_torch = eval_outputs(torch_y, target_u8, mask_u8)
+        gap = abs(res_jax["rmse_all"] - res_torch["rmse_all"]) / max(
+            res_torch["rmse_all"], 1e-9)
+        result.update({
+            "rmse_all_torch": round(res_torch["rmse_all"], 4),
+            "rmse_shadow_torch": round(res_torch["rmse"], 4),
+            "relative_gap": round(gap, 4),
+            "train_s_torch_cpu": round(t_torch, 1),
+        })
+    else:
+        result["skip_torch"] = True
+    print(json.dumps(result))
     return gap
 
 

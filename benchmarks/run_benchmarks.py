@@ -30,9 +30,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir",
-                  "/root/.cache/srit_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from benchmarks.common import build_stacked, enable_cache  # noqa: E402
+
+enable_cache()
 
 
 def _result(name, value, unit, **extra):
@@ -69,29 +69,12 @@ def bench_g1_forward_cpu():
 
 def bench_stacked_fullres():
     """Config 2: stacked G1->G2 at native 480x640 (ISTD test res)."""
-    from shadow_removal_istd_tpu.models import get_generator
-
-    g1 = get_generator("mnet", in_channels=3, out_channels=1)
-    g2 = get_generator("mnet", in_channels=4, out_channels=3)
-    v1 = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
-                      _fill_params(g1, (1, 480, 640, 3)))
-    v2 = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
-                      _fill_params(g2, (1, 480, 640, 4)))
     # measured on v5e (after the phase-affine bf16-d2s fix, r3): B=64 ->
     # 427 img/s, 96 -> 477, 128 -> 500, 160 -> 444; before the fix the
     # sweep was flat at ~383 from B=48 up — halving the d2s copy bytes
     # is what let larger batches scale again
     B, STEPS = 128, 4
-
-    @jax.jit
-    def scanned(v1, v2, xs):
-        def body(acc, x):
-            m = g1.apply(v1, x)
-            y = g2.apply(v2, jnp.concatenate([x, m], axis=-1))
-            return acc + jnp.sum(y.astype(jnp.float32)), None
-        return jax.lax.scan(body, jnp.zeros(()), xs)[0]
-
-    xs = jnp.zeros((STEPS, B, 480, 640, 3), jnp.bfloat16)
+    scanned, v1, v2, xs = build_stacked(480, 640, batch=B, steps=STEPS)
     float(scanned(v1, v2, xs))
     t0 = time.perf_counter()
     n = 3
@@ -166,6 +149,9 @@ def bench_full_training():
 
     n_dev = len(jax.devices())
     batch = 16 * max(n_dev, 1)
+    # the synthetic dataset must hold >= 1 full batch or the drop_last
+    # epoch has zero steps and the bench reports a meaningless 0 img/s
+    n_train = max(128, batch)
     cfg = TrainConfig(ngf=64, ndf=64, image_size=256, batch_size=batch,
                       use_visual_loss=False, droprate=0.05,
                       steps_per_epoch=8, compute_dtype="bfloat16",
@@ -177,15 +163,15 @@ def bench_full_training():
         state = shard_state(mesh, state)
     with tempfile.TemporaryDirectory() as tmp:
         root = os.path.join(tmp, "istd")
-        write_istd_layout(root, n_train=128, n_test=2, h=480, w=640)
+        write_istd_layout(root, n_train=n_train, n_test=2, h=480, w=640)
         h5_path = os.path.join(tmp, "istd.h5")
         build_h5(h5_path, root)
         t0 = time.perf_counter()
         streams = ISTDH5Dataset(h5_path, "train").load_streams(
             ("img", "matte", "target"))
         h5_dt = time.perf_counter() - t0
-    _result("HDF5 bulk load (128 x 480x640 triplets)",
-            128 / h5_dt, "images/sec")
+    _result(f"HDF5 bulk load ({n_train} x 480x640 triplets)",
+            n_train / h5_dt, "images/sec")
     if mesh is not None:
         from shadow_removal_istd_tpu.parallel import replicated_sharding
         cache = DeviceDatasetCache(streams, replicated_sharding(mesh))
@@ -250,11 +236,14 @@ BENCHES = [bench_g1_forward_cpu, bench_stacked_fullres, bench_train_step,
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--suite", action="store_true")
+    parser.add_argument("--suite", action="store_true",
+                        help="run all five BASELINE configs (default "
+                             "when --only is not given)")
     parser.add_argument("--only", type=int, default=None,
+                        choices=range(1, len(BENCHES) + 1),
                         help="run one benchmark (1-5)")
     args = parser.parse_args(argv)
-    if args.only:
+    if args.only is not None:
         BENCHES[args.only - 1]()
         return
     for b in BENCHES:

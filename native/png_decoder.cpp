@@ -113,6 +113,12 @@ int decode_png(const char* path, uint8_t* out, uint32_t exp_h,
   std::vector<uint8_t> idat;
   if (!parse_header(file, &info, &idat)) return 2;
   if (info.height != exp_h || info.width != exp_w) return 3;
+  // Gray output is only a memcpy from gray sources. RGB->gray would
+  // need cv2's exact conversion, which for PNGs goes through libpng's
+  // rgb_to_gray (error-diffused, stateful) — not reproducible by a
+  // per-pixel formula. Refuse so the caller falls back to cv2 and the
+  // two loaders stay bit-identical.
+  if (out_channels == 1 && info.channels != 1) return 6;
 
   const size_t stride = size_t(info.width) * info.channels;
   std::vector<uint8_t> raw((stride + 1) * info.height);
@@ -147,16 +153,8 @@ int decode_png(const char* path, uint8_t* out, uint32_t exp_h,
     // emit row: channel select/swap
     uint8_t* dst = out + size_t(y) * info.width * out_channels;
     if (out_channels == 1) {
-      if (info.channels == 1) {
-        memcpy(dst, cur.data(), info.width);
-      } else {
-        for (uint32_t x = 0; x < info.width; ++x) {
-          // ITU-R BT.601 luma, matching cv2 IMREAD_GRAYSCALE rounding
-          const uint8_t* px = &cur[size_t(x) * info.channels];
-          dst[x] = uint8_t((299 * px[0] + 587 * px[1] + 114 * px[2]
-                            + 500) / 1000);
-        }
-      }
+      // gray from gray only (guarded above): bit-exact memcpy
+      memcpy(dst, cur.data(), info.width);
     } else {  // out_channels == 3
       for (uint32_t x = 0; x < info.width; ++x) {
         const uint8_t* px = &cur[size_t(x) * info.channels];

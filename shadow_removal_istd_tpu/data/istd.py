@@ -124,9 +124,16 @@ class ISTDDataset:
             if native_dec is not None and all(
                     p.lower().endswith(".png")
                     for p in self._files[stream]):
-                out[stream] = native_dec.decode_batch(
-                    self._files[stream], gray=stream in GRAY_STREAMS)
-                continue
+                try:
+                    out[stream] = native_dec.decode_batch(
+                        self._files[stream],
+                        gray=stream in GRAY_STREAMS)
+                    continue
+                except IOError:
+                    # e.g. a gray stream stored as RGB PNGs: the
+                    # native decoder refuses (cv2's PNG rgb->gray is
+                    # not reproducible bit-exactly); use cv2 below
+                    pass
             if self.preload:
                 items = self._cache[stream]
             else:

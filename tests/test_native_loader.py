@@ -40,6 +40,28 @@ class TestNativeDecoder:
                         for p in paths])
         np.testing.assert_array_equal(ours, ref)
 
+    def test_gray_from_rgb_refused_and_falls_back(self, built, tmp_path,
+                                                  rng):
+        # cv2's PNG rgb->gray goes through libpng's error-diffused
+        # converter — not reproducible by a per-pixel formula — so the
+        # native decoder refuses and ISTDDataset.load_all silently uses
+        # cv2 for that stream (bit-identical results either way)
+        from shadow_removal_istd_tpu.data.istd import ISTDDataset
+        root = tmp_path / "ds" / "test"
+        mdir = root / "test_B"
+        mdir.mkdir(parents=True)
+        for i in range(2):
+            rgb = rng.integers(0, 256, (16, 16, 3), np.uint8)
+            cv2.imwrite(str(mdir / f"{i}.png"), rgb)
+        with pytest.raises(IOError):
+            nl.decode_batch([str(mdir / "0.png")], gray=True)
+        ds = ISTDDataset(str(tmp_path / "ds"), "test", datas=("mask",))
+        got = ds.load_all(native=True)["mask"]
+        ref = np.stack([cv2.imread(str(mdir / f"{i}.png"),
+                                   cv2.IMREAD_GRAYSCALE)[..., None]
+                        for i in range(2)])
+        np.testing.assert_array_equal(got, ref)
+
     def test_probe(self, built, tmp_path, rng):
         p = str(tmp_path / "x.png")
         cv2.imwrite(p, rng.integers(0, 256, (17, 23, 3), np.uint8))
