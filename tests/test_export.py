@@ -71,7 +71,11 @@ class TestExport:
                           use_visual_loss=False, droprate=0.0,
                           steps_per_epoch=1)
         models = build_models(cfg)
-        state = init_state(jax.random.key(0), cfg, models)
+        # key(42), NOT key(0): tools/export.py falls back to a fresh
+        # init_state(key(0)) before loading — saving a key(0) state
+        # would make "came from the checkpoint" indistinguishable from
+        # a silently dropped load
+        state = init_state(jax.random.key(42), cfg, models)
         ckpt = str(tmp_path / "checkpoint.msgpack")
         save_checkpoint(state, ckpt, epoch=7)
         out = str(tmp_path / "served.shlo")
@@ -107,8 +111,12 @@ class TestExportGatedFusedPath:
     def test_roundtrip_at_gated_resolution(self, tmp_path):
         """Export at 256x320 — above the phase-affine fast-path area
         gate (models/mnet.py::_Up), like the default 480x640 serving
-        shape — and check the artifact reproduces the direct apply."""
+        shape — and check the artifact reproduces the direct apply.
+        nn_upconv=True is load-bearing: the gate also requires the
+        NN-upsample decoder (no_conv_t), which TrainConfig defaults
+        off."""
         cfg = TrainConfig(ngf=4, ndf=4, image_size=32, batch_size=1,
+                          nn_upconv=True,
                           use_visual_loss=False, droprate=0.0,
                           steps_per_epoch=1)
         models = build_models(cfg)

@@ -117,11 +117,19 @@ class TestVisual:
         assert float(z) == pytest.approx(0.0, abs=1e-8)
 
     def test_single_channel_broadcast(self):
+        # equality against explicitly tiled 3-channel inputs with
+        # pred != target — loss(m, m) == 0 cannot distinguish the
+        # reference's expand() from any other channel handling
         from shadow_removal_istd_tpu.models.vgg import init_vgg_variables
         vgg_vars = init_vgg_variables(KEY, image_size=32)
-        matte = jax.random.uniform(KEY, (1, 32, 32, 1)) * 2 - 1
-        v = visual_loss(vgg_vars, matte, matte)
-        assert float(v) == pytest.approx(0.0, abs=1e-8)
+        k1, k2 = jax.random.split(KEY)
+        m = jax.random.uniform(k1, (1, 32, 32, 1)) * 2 - 1
+        t = jax.random.uniform(k2, (1, 32, 32, 1)) * 2 - 1
+        one_ch = visual_loss(vgg_vars, m, t)
+        tiled = visual_loss(vgg_vars, jnp.repeat(m, 3, axis=-1),
+                            jnp.repeat(t, 3, axis=-1))
+        assert float(one_ch) > 0
+        assert float(one_ch) == pytest.approx(float(tiled), rel=1e-6)
 
 
 class TestSoftAdapt:

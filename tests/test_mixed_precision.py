@@ -57,6 +57,22 @@ class TestMixedPrecision:
         # bf16 training should track f32 within a few percent
         assert abs(results["bfloat16"] - results["float32"]) \
             < 0.05 * abs(results["float32"]) + 0.05
+        # ...but NOT be identical: equality would mean the
+        # compute_dtype gate is inert and both arms ran f32 (the
+        # closeness assert alone cannot catch a silently dropped gate)
+        assert results["bfloat16"] != results["float32"]
+
+    def test_config_gate_reaches_models(self):
+        # the TrainConfig -> build_models wiring, not just the direct
+        # get_generator(dtype=...) constructor used above
+        cfg = TrainConfig(ngf=4, ndf=4, image_size=32, batch_size=2,
+                          use_visual_loss=False, droprate=0.0,
+                          compute_dtype="bfloat16")
+        models = build_models(cfg)
+        v = models.g1.init({"params": jax.random.key(0)},
+                           jnp.zeros((1, 32, 32, 3)))
+        out = models.g1.apply(v, jnp.zeros((1, 32, 32, 3)))
+        assert out.dtype == jnp.bfloat16
 
     def test_grads_are_f32(self):
         cfg = TrainConfig(ngf=4, ndf=4, image_size=32, batch_size=2,

@@ -125,13 +125,19 @@ def test_visual_loss_value_parity(shared_weights):
 
 def test_single_channel_matte_broadcast(shared_weights):
     """1-channel inputs broadcast to 3 like the reference's expand()
-    (src/cgan.py:334-335); loss of identical pred/target is 0."""
+    (src/cgan.py:334-335): the 1-channel loss must EQUAL the loss on
+    explicitly channel-tiled inputs with pred != target (loss(m, m)==0
+    holds for any deterministic channel handling and pins nothing)."""
     _, flax_vars = shared_weights
-    m = jnp.asarray(np.random.default_rng(5)
-                    .random((1, 32, 32, 1), dtype=np.float32) * 2 - 1)
+    rng = np.random.default_rng(5)
+    m = jnp.asarray(rng.random((1, 32, 32, 1), dtype=np.float32) * 2 - 1)
+    t = jnp.asarray(rng.random((1, 32, 32, 1), dtype=np.float32) * 2 - 1)
     with jax.default_matmul_precision("highest"):
-        z = visual_loss(flax_vars, m, m)
-    assert float(z) == 0.0
+        one_ch = visual_loss(flax_vars, m, t)
+        tiled = visual_loss(flax_vars, jnp.repeat(m, 3, axis=-1),
+                            jnp.repeat(t, 3, axis=-1))
+    assert float(one_ch) > 0
+    np.testing.assert_allclose(float(one_ch), float(tiled), rtol=1e-6)
 
 
 def test_sp_visual_loss_parity(shared_weights):
