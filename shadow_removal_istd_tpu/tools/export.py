@@ -101,6 +101,8 @@ def main(argv=None):
     """
     import argparse
 
+    from shadow_removal_istd_tpu.cli.main import _sync_platform_env
+    _sync_platform_env()  # honor JAX_PLATFORMS under pre-imported jax
     from shadow_removal_istd_tpu.engine import (
         TrainConfig,
         build_models,

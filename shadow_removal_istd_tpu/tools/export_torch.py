@@ -90,6 +90,8 @@ def export_reference_weights(state, models, cfg, out_dir: str,
 def main(argv=None):
     import jax
 
+    from shadow_removal_istd_tpu.cli.main import _sync_platform_env
+    _sync_platform_env()  # honor JAX_PLATFORMS under pre-imported jax
     from shadow_removal_istd_tpu.engine import (
         TrainConfig,
         build_models,
