@@ -7,8 +7,10 @@ Two mechanisms, mirroring the reference's semantics
    (flax msgpack instead of torch .pt), loadable individually — the
    ``--load-weights-*`` path.
 2. Full training state (step + params + both optimizer states + BN
-   stats + BEGAN k's) via orbax — the ``checkpoint.tar`` equivalent,
-   except the path is configurable (the reference hard-codes
+   stats + BEGAN k's) as a single flax-msgpack file (an orbax
+   ``save_checkpoint_orbax``/``load_checkpoint_orbax`` variant exists
+   below for users on that stack) — the ``checkpoint.tar``
+   equivalent, except the path is configurable (the reference hard-codes
    ``./checkpoint.tar``, src/cgan.py:509) and the decay state restores
    correctly (the reference restores decay_D twice and never decay_G,
    src/cgan.py:521-522 — here the schedule is a pure function of the

@@ -620,9 +620,18 @@ class Trainer:
         Training tensors are BGR in [-1, 1] (reference dataflow); the
         protocol (src/eval.py) works on RGB [0, 1] LAB. ``y_pred``
         comes from eval_step's already-computed predictions; ``mask``
-        from :meth:`_protocol_mask`. Remaining (documented) deviation
-        from the offline CLI: predictions are compared as floats,
-        without the PNG uint8 round-trip the offline protocol sees.
+        from :meth:`_protocol_mask`.
+
+        The offline protocol scores 8-bit PNGs (reference
+        src/eval.py:63-70), so both sides are snapped to their PNG
+        uint8 grids on device before the LAB conversion: the
+        prediction through the writer's floor quantization
+        (``float2uint``, reference src/utils.py:65-67 — ``astype``
+        truncates), the target by rounding (its PNG source IS the
+        uint8 grid; rounding undoes the float32 [-1,1] round-trip
+        noise). This makes ``Eval/*`` bit-aligned with
+        ``metrics/eval_cli.py`` run on the written PNGs
+        (tests/test_engine.py::TestEvalBitAlignment).
         """
         if self._lab_parts_fn is None:
             from shadow_removal_istd_tpu.metrics.metrics import (
@@ -634,9 +643,16 @@ class Trainer:
             )
 
             def parts(y_pred, y, mask):
-                to_lab = lambda t: rgb_to_lab(bgr_to_rgb(  # noqa: E731
-                    jnp.clip(t.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)))
-                return region_metrics(to_lab(y_pred), to_lab(y), mask)
+                # the prediction goes through the LITERAL writer ops
+                # (same dtype, same floor) so the grid matches the
+                # PNG the infer path would emit bit-for-bit
+                q_pred = float_to_uint8(
+                    denormalize(y_pred)).astype(jnp.float32) / 255.0
+                q_tgt = jnp.round(jnp.clip(
+                    y.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+                    * 255.0) / 255.0
+                to_lab = lambda t: rgb_to_lab(bgr_to_rgb(t))  # noqa: E731
+                return region_metrics(to_lab(q_pred), to_lab(q_tgt), mask)
 
             self._lab_parts_fn = jax.jit(parts)
         return self._lab_parts_fn(y_pred, y, mask)

@@ -419,6 +419,60 @@ class TestEvalMetricsProtocol:
         assert np.isfinite(tr.run_valid_epoch(0))
 
 
+class TestEvalBitAlignment:
+    """Eval/* scalars must equal the offline protocol run on the PNGs
+    infer() writes — the in-training path snaps both sides to their
+    PNG uint8 grids (prediction via the writer's floor quantization,
+    reference src/utils.py:65-67; target via rounding back to its
+    uint8 source grid) before the LAB conversion, so there is no
+    float-vs-8-bit gap left (reference protocol scores 8-bit PNGs,
+    src/eval.py:63-70)."""
+
+    def test_eval_scalars_match_offline_cli(self, tmp_path):
+        from shadow_removal_istd_tpu.data.synthetic import (
+            write_istd_layout,
+        )
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        from shadow_removal_istd_tpu.metrics.eval_cli import all_metrics
+        root = str(tmp_path / "ISTD")
+        write_istd_layout(root, n_train=2, n_test=3, h=32, w=64)
+        cfg = tiny_cfg(lambda4=0.0, lambda5=0.0, batch_size=2,
+                       image_size=32)
+        run = RunConfig(data_dirs=(root,), eval_metrics=True,
+                        logs_dir=str(tmp_path / "logs"),
+                        weights_dir=str(tmp_path / "w"),
+                        infered_dir=str(tmp_path / "infered"))
+        tr = Trainer(cfg, run)
+        captured = {}
+
+        class _Cap:
+            def add_scalar(self, k, v, e):
+                captured[k] = float(v)
+
+            def add_image(self, *a, **k):
+                pass
+
+            def flush(self):
+                pass
+
+        tr._writers["valid"] = _Cap()
+        tr.run_valid_epoch(0)
+        tr.infer()  # same (untrained) params -> same predictions
+        offline = all_metrics(
+            os.path.join(root, "test", "test_C_fixed"),
+            os.path.join(run.infered_dir, "shadowless", "ISTD"),
+            maskdir=os.path.join(root, "test", "test_B"))
+        for k in ("rmse", "rmse_non", "rmse_all",
+                  "mae", "mae_non", "mae_all"):
+            assert f"Eval/{k}" in captured
+            # the only slack: eval_step and infer_step are separate
+            # XLA graphs, so a pixel sitting within float noise of a
+            # quantization boundary may land one uint8 level apart
+            np.testing.assert_allclose(
+                captured[f"Eval/{k}"], offline[k], rtol=5e-4,
+                err_msg=k)
+
+
 class TestRemat:
     """--remat (jax.checkpoint around the step phases) must change
     memory behavior only — the math is identical."""

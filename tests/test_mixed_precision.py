@@ -1,5 +1,6 @@
 """Mixed-precision (bf16 compute / f32 params) tests."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,7 @@ class TestMixedPrecision:
         assert all(s.dtype == jnp.float32
                    for s in jax.tree.leaves(upd["batch_stats"]))
 
+    @pytest.mark.slow
     def test_bf16_train_step_close_to_f32(self):
         batch = _batch()
         results = {}

@@ -237,6 +237,7 @@ class TestMNetSplitSkip:
     eval output must match the concat form exactly and the param tree
     must be unchanged (checkpoints/bridge compatibility)."""
 
+    @pytest.mark.slow
     def test_eval_equivalence_and_param_tree(self):
         from shadow_removal_istd_tpu.models.mnet import MNet
         rng = np.random.default_rng(2)
@@ -253,6 +254,7 @@ class TestMNetSplitSkip:
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                    atol=2e-5)
 
+    @pytest.mark.slow
     def test_gated_phase_affine_size(self):
         # >=4500 pre-upsample area takes the defer-d2s fast path inside
         # the split form; both fast paths must compose. At 288x288 the

@@ -88,3 +88,20 @@ class TestRealSample:
         # exact up to uint8 rounding wherever shadowed>0 (zeros clamp)
         nz = shadow.astype(float) > 0
         assert err[nz].mean() < 1.0
+
+    def test_polyfit_sp_roundtrip_on_real_pair(self):
+        """The dormant-variant polyfit sp (reference
+        src/utils.py:17-44) on the real triplet: a local weighted
+        linear fit can't be pixel-exact like the ratio sp, but its
+        restored image must approximate the shadow-free target far
+        better than the raw shadow image does."""
+        from shadow_removal_istd_tpu.tools.preprocess import (
+            apply_sp_poly, compute_sp_polyfit)
+        shadow, free, mask = _triplet()
+        sp = compute_sp_polyfit(shadow, free, ksize=5, deg=1)
+        assert sp.shape == shadow.shape[:2] + (3, 2)
+        restored = apply_sp_poly(shadow, sp)
+        err = np.abs(restored.astype(float) - free.astype(float)).mean()
+        base = np.abs(shadow.astype(float) - free.astype(float)).mean()
+        assert err < base * 0.25
+        assert err < 5.0  # measured on 114-5: ~1-3 gray levels

@@ -38,6 +38,92 @@ class TestPreprocess:
         sp = np.load(os.path.join(root, "train", "sp", sp_files[0]))
         assert sp.shape == (24, 32, 3)
 
+    @pytest.mark.parametrize("ksize,deg", [(5, 1), (3, 2)])
+    def test_polyfit_sp_matches_per_pixel_oracle(self, rng, ksize, deg):
+        """The batched closed-form polyfit sp equals the reference's
+        dormant per-pixel numpy.polynomial fit (src/preprocess.py:18-24
+        / src/utils.py:17-44), run literally pixel by pixel."""
+        from numpy.polynomial import polynomial as P
+
+        from shadow_removal_istd_tpu.tools.preprocess import (
+            _HAT_LUT,
+            _bgr_to_gray_u8,
+            compute_sp_polyfit,
+        )
+        # gray levels away from 0/255 keep every hat weight positive
+        # (a zero-weight window is the degenerate min-norm case,
+        # covered separately below)
+        shadowed = rng.integers(40, 200, (8, 9, 3), np.uint8)
+        free = rng.integers(40, 200, (8, 9, 3), np.uint8)
+        got = compute_sp_polyfit(shadowed, free, ksize=ksize, deg=deg)
+        assert got.shape == (8, 9, 3, deg + 1)
+
+        border = (ksize - 1) // 2
+        pad2 = ((border, border), (border, border))
+        img = np.pad(shadowed, pad2 + ((0, 0),), mode="edge")
+        gt = np.pad(free, pad2 + ((0, 0),), mode="edge")
+        weight = _HAT_LUT[_bgr_to_gray_u8(gt)]
+        w2 = np.array(
+            [ksize - abs(i - border) - abs(j - border)
+             for i in range(ksize) for j in range(ksize)], float)
+        for r in range(0, 8, 3):
+            for c in range(0, 9, 4):
+                for ch in range(3):
+                    x = img[r:r + ksize, c:c + ksize, ch].ravel()
+                    y = gt[r:r + ksize, c:c + ksize, ch].ravel()
+                    w1 = weight[r:r + ksize, c:c + ksize].ravel()
+                    coef = P.polyfit(x.astype(float), y.astype(float),
+                                     deg, w=w1 * w2)
+                    np.testing.assert_allclose(
+                        got[r, c, ch], coef, rtol=1e-4, atol=1e-4,
+                        err_msg=f"pixel ({r},{c},{ch})")
+
+    def test_polyfit_sp_degenerate_windows_finite(self):
+        # all-black shadow-free -> gray 0 -> hat weight 0 everywhere:
+        # the fit is underdetermined; min-norm solution must be finite
+        from shadow_removal_istd_tpu.tools.preprocess import (
+            compute_sp_polyfit,
+        )
+        shadowed = np.full((6, 6, 3), 100, np.uint8)  # constant patch
+        free = np.zeros((6, 6, 3), np.uint8)
+        sp = compute_sp_polyfit(shadowed, free)
+        assert np.isfinite(sp).all()
+
+    def test_polyfit_sp_roundtrip_and_cli(self, tmp_path, rng):
+        """--method polyfit: the restored image approximates the
+        shadow-free target, and the CLI writes sp_poly/ npy files with
+        the (H, W, 3, deg+1) shape."""
+        from shadow_removal_istd_tpu.data.synthetic import (
+            write_istd_layout,
+        )
+        from shadow_removal_istd_tpu.tools.preprocess import (
+            apply_sp_poly,
+            compute_sp_polyfit,
+            main,
+        )
+        root = str(tmp_path)
+        write_istd_layout(root, n_train=2, n_test=1, h=24, w=32)
+        main(["--path", root, "--subset", "train", "--method", "polyfit",
+              "--save-img", "true"])
+        sp_dir = os.path.join(root, "train", "sp_poly")
+        files = sorted(os.listdir(sp_dir))
+        assert len(files) == 2
+        sp = np.load(os.path.join(sp_dir, files[0]))
+        assert sp.shape == (24, 32, 3, 2)
+        assert os.path.isdir(os.path.join(root, "train",
+                                          "sp_restored_img"))
+        # a smooth synthetic pair: the local linear fit restores the
+        # target to within a few gray levels
+        from shadow_removal_istd_tpu.utils.image_io import imread_color
+        a = imread_color(os.path.join(root, "train", "train_A",
+                                      files[0].replace(".npy", ".png")))
+        c = imread_color(os.path.join(root, "train", "train_C_fixed",
+                                      files[0].replace(".npy", ".png")))
+        restored = apply_sp_poly(a, compute_sp_polyfit(a, c))
+        err = np.abs(restored.astype(float) - c.astype(float)).mean()
+        base = np.abs(a.astype(float) - c.astype(float)).mean()
+        assert err < base * 0.5 and err < 10.0
+
     def test_save_flags_parse_false(self, tmp_path):
         # the reference's type=bool parses "--save-img false" as True
         # (any non-empty string is truthy) — we use a real bool parser

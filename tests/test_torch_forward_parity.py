@@ -102,6 +102,7 @@ def test_pix2pix_odd_size():
     _assert_forward_parity(tm, fm, _x((1, 30, 20, 3)))
 
 
+@pytest.mark.slow
 def test_denseunet():
     tm = rn.get_generator("denseunet", in_channels=3, out_channels=1, ngf=8,
                           drop_rate=0.0, no_conv_t=False, activation=None)
