@@ -182,9 +182,15 @@ def main(argv=None):
                         "run-to-run variance under identical init)")
     p.add_argument("--skip-torch", action="store_true",
                    help="train only the jax side (variance probes)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu when the TPU "
+                        "tunnel is down; env vars are too late — this "
+                        "environment pre-imports jax at startup)")
     args = p.parse_args(argv)
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from shadow_removal_istd_tpu.engine import (
