@@ -221,3 +221,21 @@ class TestH5:
         assert len(tr.train_pipe) == 2  # 4 samples / batch 2
         assert tr.valid_names  # filenames came from the H5 file
         tr.train(1)
+
+
+class TestImageIOUtils:
+    def test_normalize_percentile_matches_reference_math(self):
+        """reference normalize_ndarray (src/utils.py:70-74): stretch
+        [p3, p97] to [0, 255] uint8 with clipping."""
+        from shadow_removal_istd_tpu.utils.image_io import (
+            normalize_percentile,
+        )
+        rng = np.random.default_rng(5)
+        a = rng.normal(size=(40, 30)).astype(np.float32)
+        got = normalize_percentile(a)
+        lo, hi = np.percentile(a, 3), np.percentile(a, 97)
+        want = (np.clip((a - lo) / (hi - lo), 0, 1) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
+        # constant input: the reference divides by zero here; we clamp
+        flat = normalize_percentile(np.full((4, 4), 2.5))
+        assert flat.dtype == np.uint8 and np.isfinite(flat).all()
