@@ -34,6 +34,12 @@ from benchmarks.common import build_stacked, enable_cache
 enable_cache()
 
 
+def _maybe_force_platform(argv_platform: str | None):
+    if argv_platform:
+        import jax
+        jax.config.update("jax_platforms", argv_platform)
+
+
 def measure(split: bool, size: int, width: int, batch: int,
             steps: int, iters: int = 5) -> float:
     scanned, v1, v2, xs = build_stacked(size, width, batch=batch,
@@ -54,11 +60,19 @@ def main():
                     help="defaults to --size")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a jax platform (e.g. cpu for smoke "
+                         "runs; env vars are too late — jax is "
+                         "pre-imported in this environment)")
     args = ap.parse_args()
+    _maybe_force_platform(args.platform)
     w = args.width or args.size
 
-    base = measure(False, args.size, w, args.batch, args.steps)
-    split = measure(True, args.size, w, args.batch, args.steps)
+    base = measure(False, args.size, w, args.batch, args.steps,
+                   iters=args.iters)
+    split = measure(True, args.size, w, args.batch, args.steps,
+                    iters=args.iters)
     print(json.dumps({
         "metric": f"stacked G1+G2 img/s @{args.size}x{w} "
                   f"batch{args.batch}",
