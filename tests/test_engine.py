@@ -472,6 +472,20 @@ class TestEvalBitAlignment:
                 captured[f"Eval/{k}"], offline[k], rtol=5e-4,
                 err_msg=k)
 
+    def test_target_grid_recovery_survives_bf16(self):
+        """The target-side round() must recover the exact uint8 source
+        grid even when the eval batch is bf16 (production dtype):
+        bf16's worst-case half-ulp on [0.5, 1) is 2^-9, and
+        2^-9 * 255 = 0.498 < 0.5 — every one of the 256 levels
+        round-trips. Checked exhaustively."""
+        u8 = np.arange(256, dtype=np.uint8)
+        normed = (u8.astype(np.float32) / 255.0 - 0.5) * 2.0  # loader
+        bf = jnp.asarray(normed, jnp.bfloat16)
+        q = jnp.round(jnp.clip(
+            bf.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0) * 255.0)
+        np.testing.assert_array_equal(np.asarray(q),
+                                      u8.astype(np.float32))
+
 
 class TestRemat:
     """--remat (jax.checkpoint around the step phases) must change
