@@ -29,15 +29,32 @@ def enable_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def fill_params_bf16(model, x_shape) -> dict:
-    """Materialize a model's variables from shapes alone: bf16 0.01 for
-    float leaves, zeros for the rest (e.g. int BN counters)."""
+def fill_params_bf16(model, x_shape, dtype=jnp.bfloat16) -> dict:
+    """Materialize a model's variables from shapes alone: ``dtype``
+    0.01 for float leaves (bf16 default keeps convs on the bf16
+    path), zeros for the rest (e.g. int BN counters)."""
     shapes = jax.eval_shape(model.init, {"params": jax.random.key(0)},
                             jnp.zeros(x_shape, jnp.float32))
     return jax.tree.map(
-        lambda s: (jnp.full(s.shape, 0.01, jnp.bfloat16)
+        lambda s: (jnp.full(s.shape, 0.01, dtype)
                    if s.dtype == jnp.float32
                    else jnp.zeros(s.shape, s.dtype)), shapes)
+
+
+def stub_torchvision() -> None:
+    """Stub torchvision so the reference's modules import without it
+    (the reference's loss module pulls in torchvision's VGG at import;
+    none of the comparison benches need it)."""
+    import types as _types
+
+    import sys as _sys
+
+    for _n in ("torchvision", "torchvision.models",
+               "torchvision.transforms"):
+        _sys.modules.setdefault(_n, _types.ModuleType(_n))
+    _sys.modules["torchvision"].models = _sys.modules["torchvision.models"]
+    _sys.modules["torchvision"].transforms = (
+        _sys.modules["torchvision.transforms"])
 
 
 def build_stacked(h: int, w: int, *, batch: int, steps: int,

@@ -24,7 +24,6 @@ import json
 import os
 import sys
 import time
-import types
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -33,12 +32,10 @@ import numpy as np
 
 
 def torch_stacked(reference_path: str, ngf: int):
+    from benchmarks.common import stub_torchvision
+
     sys.path.insert(0, reference_path)
-    # the reference's loss module imports torchvision at module import;
-    # networks.py does not, but stub it anyway like mini_e2e_parity
-    for _n in ("torchvision", "torchvision.models",
-               "torchvision.transforms"):
-        sys.modules.setdefault(_n, types.ModuleType(_n))
+    stub_torchvision()
     import torch
     from src import networks as rn
     torch.manual_seed(0)
@@ -61,22 +58,17 @@ def torch_stacked(reference_path: str, ngf: int):
 
 
 def jax_stacked(ngf: int):
-    import jax
+    import functools
+
     import jax.numpy as jnp
 
+    from benchmarks.common import fill_params_bf16
     from shadow_removal_istd_tpu.models import get_generator
 
     g1 = get_generator("mnet", in_channels=3, out_channels=1, ngf=ngf)
     g2 = get_generator("mnet", in_channels=4, out_channels=3, ngf=ngf)
-
-    def fill(model, shape):
-        shapes = jax.eval_shape(model.init, {"params": jax.random.key(0)},
-                                jnp.zeros(shape, jnp.float32))
-        return jax.tree.map(
-            lambda s: jnp.full(s.shape, 0.01, s.dtype)
-            if s.dtype == jnp.float32 else jnp.zeros(s.shape, s.dtype),
-            shapes)
-
+    # f32 fill: this bench compares f32-vs-f32 against torch CPU
+    fill = functools.partial(fill_params_bf16, dtype=jnp.float32)
     return g1, g2, fill
 
 

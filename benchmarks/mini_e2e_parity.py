@@ -31,7 +31,6 @@ import json
 import os
 import sys
 import time
-import types
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -49,13 +48,10 @@ def build_dataset(n, size, seed=0):
 
 
 def torch_setup(cfg, ngf, ndf):
+    from benchmarks.common import stub_torchvision
+
     sys.path.insert(0, "/root/reference")
-    for _n in ("torchvision", "torchvision.models",
-               "torchvision.transforms"):
-        sys.modules.setdefault(_n, types.ModuleType(_n))
-    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
-    sys.modules["torchvision"].transforms = (
-        sys.modules["torchvision.transforms"])
+    stub_torchvision()
     import torch
     from src import networks as rn
     torch.manual_seed(0)

@@ -631,7 +631,12 @@ class Trainer:
         uint8 grid; rounding undoes the float32 [-1,1] round-trip
         noise). This makes ``Eval/*`` bit-aligned with
         ``metrics/eval_cli.py`` run on the written PNGs
-        (tests/test_engine.py::TestEvalBitAlignment).
+        (tests/test_engine.py::TestEvalBitAlignment) — in the default
+        native-resolution configuration. The legacy-tree modes remain
+        approximate: with ``infer_resize`` the writer resizes before
+        quantizing, and with ``valid_resize`` the target tensor is
+        interpolated off its source uint8 grid, so those Eval/*
+        scalars track but do not equal the offline CLI.
         """
         if self._lab_parts_fn is None:
             from shadow_removal_istd_tpu.metrics.metrics import (
@@ -649,7 +654,7 @@ class Trainer:
                 q_pred = float_to_uint8(
                     denormalize(y_pred)).astype(jnp.float32) / 255.0
                 q_tgt = jnp.round(jnp.clip(
-                    y.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+                    denormalize(y.astype(jnp.float32)), 0.0, 1.0)
                     * 255.0) / 255.0
                 to_lab = lambda t: rgb_to_lab(bgr_to_rgb(t))  # noqa: E731
                 return region_metrics(to_lab(q_pred), to_lab(q_tgt), mask)

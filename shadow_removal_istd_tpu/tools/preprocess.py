@@ -58,13 +58,20 @@ _HAT_LUT = np.concatenate((np.arange(64), np.full(128, 64),
 
 
 def _bgr_to_gray_u8(bgr: np.ndarray) -> np.ndarray:
-    """cv2's exact fixed-point BGR->GRAY (what the reference's
-    ``cv.cvtColor`` in src/utils.py:25 would produce)."""
-    b = bgr[..., 0].astype(np.int64)
-    g = bgr[..., 1].astype(np.int64)
-    r = bgr[..., 2].astype(np.int64)
-    return ((1868 * b + 9617 * g + 4899 * r + (1 << 13)) >> 14).astype(
-        np.uint8)
+    """BGR -> GRAY uint8 like the reference's ``cv.cvtColor``
+    (src/utils.py:25): cv2 itself when installed; otherwise the
+    classic fixed-point descale, which matches cv2 except for a ±1
+    level on ~0.2% of pixels (cv2 5.x rounds in float)."""
+    try:
+        import cv2
+        return cv2.cvtColor(np.ascontiguousarray(bgr),
+                            cv2.COLOR_BGR2GRAY)
+    except Exception:
+        b = bgr[..., 0].astype(np.int64)
+        g = bgr[..., 1].astype(np.int64)
+        r = bgr[..., 2].astype(np.int64)
+        return ((1868 * b + 9617 * g + 4899 * r + (1 << 13)) >> 14).astype(
+            np.uint8)
 
 
 def _pyramid_weight(ksize: int) -> np.ndarray:
@@ -166,10 +173,11 @@ def process_split(root: str, subset: str, save_sp: bool = True,
                   deg: int = 1) -> int:
     """Compute sp for every aligned pair in a split; returns file count.
 
-    ``method="ratio"`` writes into ``sp/`` (shape H,W,3 — what the
-    HDF5 pipeline consumes); ``method="polyfit"`` writes into
-    ``sp_poly/`` (shape H,W,3,deg+1) so the two never clobber each
-    other.
+    ``method="ratio"`` writes into ``sp/`` + ``sp_restored_img/``
+    (sp shape H,W,3 — what the HDF5 pipeline consumes);
+    ``method="polyfit"`` writes into ``sp_poly/`` +
+    ``sp_poly_restored_img/`` (shape H,W,3,deg+1) so the two methods'
+    outputs never clobber each other.
     """
     image_dir = os.path.join(root, subset, f"{subset}_A")
     if target_dirname is None:
@@ -179,7 +187,9 @@ def process_split(root: str, subset: str, save_sp: bool = True,
     target_dir = os.path.join(root, subset, target_dirname)
     sp_dir = os.path.join(root, subset,
                           "sp" if method == "ratio" else "sp_poly")
-    restored_dir = os.path.join(root, subset, "sp_restored_img")
+    restored_dir = os.path.join(
+        root, subset, ("sp_restored_img" if method == "ratio"
+                       else "sp_poly_restored_img"))
     if save_sp:
         os.makedirs(sp_dir, exist_ok=True)
     if save_img:

@@ -110,8 +110,12 @@ class TestPreprocess:
         assert len(files) == 2
         sp = np.load(os.path.join(sp_dir, files[0]))
         assert sp.shape == (24, 32, 3, 2)
+        # polyfit restored images get their own directory so the two
+        # methods' outputs never clobber each other
         assert os.path.isdir(os.path.join(root, "train",
-                                          "sp_restored_img"))
+                                          "sp_poly_restored_img"))
+        assert not os.path.isdir(os.path.join(root, "train",
+                                              "sp_restored_img"))
         # a smooth synthetic pair: the local linear fit restores the
         # target to within a few gray levels
         from shadow_removal_istd_tpu.utils.image_io import imread_color
