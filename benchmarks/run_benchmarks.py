@@ -242,7 +242,14 @@ def main(argv=None):
     parser.add_argument("--only", type=int, default=None,
                         choices=range(1, len(BENCHES) + 1),
                         help="run one benchmark (1-5)")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. cpu to run "
+                             "config 1 — itself a CPU measurement — "
+                             "while the TPU tunnel is down; env vars "
+                             "are too late, jax is pre-imported here)")
     args = parser.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.only is not None:
         BENCHES[args.only - 1]()
         return
