@@ -1,0 +1,170 @@
+"""Serving inference engine: bucketed, jit-cached stacked G1+G2.
+
+The reference has no serving story beyond the offline ``--tasks infer``
+batch loop (src/cgan.py:420-464). This engine is the TPU-native online
+counterpart, built around XLA's compilation model:
+
+- **Static shape buckets.** Every request size is padded up to a
+  bucket (multiples of ``pad_multiple`` per spatial dim, power-of-two
+  batch sizes), so the jit cache holds a small, bounded set of
+  compiled programs instead of one per odd request shape.
+- **One dispatch per batch.** Decode/normalize -> G1 -> concat -> G2
+  -> denormalize -> uint8 all run inside a single jitted program; the
+  host sends uint8 in and receives uint8 out (minimal transfer, and
+  the [-1,1] normalization never leaves the device).
+- **bf16 by default.** Params and compute are cast to bfloat16 like
+  the flagship benchmark path (bench.py); ``dtype="float32"`` restores
+  exact-eval numerics.
+
+Padding uses value 128, i.e. ~0 after the reference's ``(x/255-.5)*2``
+normalization — the same mid-gray zero-pad semantics the reference's
+pix2pix generator applies to odd sizes internally
+(src/models/stcgan_g.py:124-132), off by 0.004 gray levels because the
+pad happens pre-normalization on the uint8 grid.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from shadow_removal_istd_tpu.models import get_generator
+
+# Spatial divisibility each generator needs at its default depth
+# (models/{mnet,unet,denseunet}.py raise on indivisible sizes; the
+# pix2pix 'stcgan' G pads internally but is bucketed anyway to bound
+# the jit cache).
+_DEFAULT_PAD = {"mnet": 32, "unet": 16, "denseunet": 32, "stcgan": 32}
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+class InferenceEngine:
+    """Stacked shadow-removal inference over shape buckets.
+
+    Thread-safety: ``infer_group`` may be called from any single
+    thread at a time (the serving batcher funnels all device work
+    through one thread); construction and ``load_weights`` are not
+    thread-safe.
+    """
+
+    def __init__(self, net_g: str = "mnet", *, ngf: int = 64,
+                 droprate: float = 0.0, nn_upconv: bool = True,
+                 use_selu: bool = False, activation: str = "tanh",
+                 dtype: str = "bfloat16", split_skip: bool = False,
+                 pad_multiple: int | None = None, max_batch: int = 8,
+                 seed: int = 0):
+        if dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"dtype must be float32|bfloat16, got {dtype}")
+        self.dtype = dtype
+        jdtype = jnp.bfloat16 if dtype == "bfloat16" else None
+        g_kw = dict(ngf=ngf, drop_rate=droprate, no_conv_t=nn_upconv,
+                    use_selu=use_selu, activation=activation, dtype=jdtype)
+        if net_g.lower() == "mnet":
+            g_kw["split_skip"] = split_skip
+        # G1: shadow image -> matte; G2: image ++ matte -> shadow-free
+        # (reference channel wiring, src/cgan.py:35-66)
+        self.g1 = get_generator(net_g, in_channels=3, out_channels=1, **g_kw)
+        self.g2 = get_generator(net_g, in_channels=4, out_channels=3, **g_kw)
+        self.pad_multiple = int(pad_multiple
+                                or _DEFAULT_PAD[net_g.lower()])
+        self.max_batch = int(max_batch)
+        hw = max(self.pad_multiple, 64)
+        k1, k2 = jax.random.split(jax.random.key(seed))
+        self.v1 = self.g1.init(k1, jnp.zeros((1, hw, hw, 3), jnp.float32))
+        self.v2 = self.g2.init(k2, jnp.zeros((1, hw, hw, 4), jnp.float32))
+        if dtype == "bfloat16":
+            self.v1, self.v2 = jax.tree.map(
+                lambda a: (a.astype(jnp.bfloat16)
+                           if a.dtype == jnp.float32 else a),
+                (self.v1, self.v2))
+        self._infer = jax.jit(self._stacked)
+
+    # -- weights ------------------------------------------------------
+
+    def _load_one(self, variables, path: str):
+        target = {"params": variables["params"],
+                  "batch_stats": variables.get("batch_stats", {})}
+        # restore against an f32 template so bf16 serving accepts the
+        # f32 msgpack files the trainer writes (engine/checkpoint.py)
+        target = jax.tree.map(
+            lambda a: (a.astype(jnp.float32)
+                       if a.dtype == jnp.bfloat16 else a), target)
+        with open(path, "rb") as f:
+            payload = serialization.from_bytes(target, f.read())
+        if self.dtype == "bfloat16":
+            payload = jax.tree.map(
+                lambda a: (a.astype(jnp.bfloat16)
+                           if a.dtype == np.float32 else a), payload)
+        out = dict(variables)
+        out["params"] = payload["params"]
+        if payload["batch_stats"]:
+            out["batch_stats"] = payload["batch_stats"]
+        return out
+
+    def load_weights(self, g1_path: str, g2_path: str) -> None:
+        """Load the trainer's per-network weight files
+        (``G1_*.msgpack`` / ``G2_*.msgpack``, engine/checkpoint.py)."""
+        self.v1 = self._load_one(self.v1, g1_path)
+        self.v2 = self._load_one(self.v2, g2_path)
+
+    # -- inference ----------------------------------------------------
+
+    def _stacked(self, v1, v2, x_u8):
+        # reference normalization: uint8/255 in [0,1], then (x-.5)*2
+        # (src/utils.py:60-62, src/dataset.py:149-153)
+        x = x_u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+        m = self.g1.apply(v1, x)
+        y = self.g2.apply(v2, jnp.concatenate(
+            [x.astype(m.dtype), m], axis=-1))
+        to_u8 = lambda t: (jnp.clip(  # noqa: E731
+            t.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+            * 255.0).astype(jnp.uint8)
+        return to_u8(m), to_u8(y)
+
+    def bucket_of(self, h: int, w: int) -> tuple[int, int]:
+        m = self.pad_multiple
+        return (math.ceil(h / m) * m, math.ceil(w / m) * m)
+
+    def infer_group(self, imgs: list[np.ndarray]
+                    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Run one batched dispatch over same-bucket images.
+
+        ``imgs``: HxWx3 uint8 BGR arrays whose sizes map to ONE bucket
+        (the batcher groups by bucket). Returns per image
+        ``(matte HxW uint8, shadow_free HxWx3 uint8 BGR)`` cropped back
+        to the original size.
+        """
+        if not imgs:
+            return []
+        buckets = {self.bucket_of(im.shape[0], im.shape[1])
+                   for im in imgs}
+        if len(buckets) != 1:
+            raise ValueError(f"mixed buckets in one group: {buckets}")
+        bh, bw = buckets.pop()
+        n = len(imgs)
+        bp = min(_next_pow2(n), max(self.max_batch, n))
+        batch = np.full((bp, bh, bw, 3), 128, np.uint8)
+        for i, im in enumerate(imgs):
+            batch[i, :im.shape[0], :im.shape[1]] = im
+        m_u8, y_u8 = self._infer(self.v1, self.v2, batch)
+        m_np = np.asarray(jax.device_get(m_u8))
+        y_np = np.asarray(jax.device_get(y_u8))
+        return [(m_np[i, :im.shape[0], :im.shape[1], 0],
+                 y_np[i, :im.shape[0], :im.shape[1]])
+                for i, im in enumerate(imgs)]
+
+    def warmup(self, sizes: list[tuple[int, int]],
+               batch_sizes: list[int] | None = None) -> None:
+        """Pre-compile the (bucket, batch) grid so first requests don't
+        pay XLA compilation (1-5 min per graph through a TPU tunnel)."""
+        for h, w in sizes:
+            for b in (batch_sizes or [1, self.max_batch]):
+                dummy = np.full((h, w, 3), 128, np.uint8)
+                self.infer_group([dummy] * b)

@@ -1,0 +1,360 @@
+"""Online serving: micro-batching HTTP front-end over InferenceEngine.
+
+The reference serves nothing — its inference is an offline directory
+sweep (src/cgan.py:420-464). This is the online path for production
+deployment: a dependency-free (stdlib ``http.server``) daemon that
+
+- accepts encoded images over HTTP and answers with the shadow-free
+  image and/or the shadow matte as PNG,
+- **micro-batches** concurrent requests: all requests arriving within
+  ``--batch-window-ms`` of the first are grouped (per shape bucket, up
+  to ``--max-batch``) into one device dispatch, amortizing the
+  per-call dispatch cost that dominates small-batch TPU serving
+  (see benchmarks/latency.py), and
+- funnels ALL device work through one batcher thread, so HTTP
+  concurrency never races the runtime.
+
+Endpoints:
+  POST /v1/unshadow[?output=shadowless|matte]  image bytes -> PNG
+  GET  /healthz                                liveness + device
+  GET  /stats                                  counters + latency
+                                               percentiles (JSON)
+
+Run: ``python -m shadow_removal_istd_tpu.serving.server
+--load-weights-g1 runs/w/G1_MNet_best.msgpack --load-weights-g2 ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import logging
+import queue
+import signal
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from shadow_removal_istd_tpu.serving.engine import InferenceEngine
+from shadow_removal_istd_tpu.utils.image_io import (
+    imdecode_color,
+    imencode_png,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class ServerStats:
+    """Thread-safe request/batch counters + latency reservoir."""
+
+    def __init__(self, window: int = 2048):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self.batches = 0
+        self.images = 0
+        self.max_batch = 0
+        self._lat_ms = collections.deque(maxlen=window)
+
+    def record_batch(self, n: int) -> None:
+        with self._lock:
+            self.batches += 1
+            self.images += n
+            self.max_batch = max(self.max_batch, n)
+
+    def record_request(self, latency_ms: float, error: bool) -> None:
+        with self._lock:
+            self.requests += 1
+            if error:
+                self.errors += 1
+            else:
+                self._lat_ms.append(latency_ms)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = np.asarray(self._lat_ms, np.float64)
+            out = {"requests": self.requests, "errors": self.errors,
+                   "batches": self.batches, "images": self.images,
+                   "max_batch": self.max_batch}
+        if lat.size:
+            out["latency_ms"] = {
+                "p50": round(float(np.percentile(lat, 50)), 2),
+                "p90": round(float(np.percentile(lat, 90)), 2),
+                "p99": round(float(np.percentile(lat, 99)), 2),
+            }
+        return out
+
+
+class MicroBatcher:
+    """Group concurrent requests into one dispatch per shape bucket.
+
+    One daemon thread owns the engine: it blocks on the queue, then
+    drains further requests for ``window_ms`` (bounded by
+    ``max_batch``), groups them by bucket, and resolves each request's
+    Future. A window of 0 degenerates to one-dispatch-per-request.
+    """
+
+    _CLOSE = object()
+
+    def __init__(self, engine: InferenceEngine, *,
+                 window_ms: float = 5.0, stats: ServerStats | None = None):
+        self.engine = engine
+        self.window_s = window_ms / 1e3
+        self.stats = stats or ServerStats()
+        self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="srit-batcher")
+        self._thread.start()
+
+    def submit(self, img_bgr_u8: np.ndarray) -> Future:
+        """Enqueue one HxWx3 uint8 image; resolves to (matte, shadowless)."""
+        fut: Future = Future()
+        self._q.put((img_bgr_u8, fut))
+        return fut
+
+    def close(self) -> None:
+        self._q.put(self._CLOSE)
+        self._thread.join(timeout=10)
+
+    def _drain(self, first) -> list | None:
+        batch = [first]
+        deadline = time.monotonic() + self.window_s
+        while len(batch) < self.engine.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is self._CLOSE:
+                self._q.put(self._CLOSE)  # re-post for the outer loop
+                break
+            batch.append(item)
+        return batch
+
+    def _loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is self._CLOSE:
+                return
+            batch = self._drain(item)
+            groups: dict[tuple[int, int], list] = {}
+            for img, fut in batch:
+                key = self.engine.bucket_of(img.shape[0], img.shape[1])
+                groups.setdefault(key, []).append((img, fut))
+            for group in groups.values():
+                imgs = [img for img, _ in group]
+                try:
+                    results = self.engine.infer_group(imgs)
+                except Exception as exc:  # resolve, don't kill the loop
+                    logger.exception("batch of %d failed", len(imgs))
+                    for _, fut in group:
+                        fut.set_exception(exc)
+                    continue
+                self.stats.record_batch(len(imgs))
+                for (_, fut), res in zip(group, results):
+                    fut.set_result(res)
+
+
+def _make_handler(batcher: MicroBatcher, stats: ServerStats,
+                  max_body: int, request_timeout_s: float):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through logging
+            logger.debug("%s " + fmt, self.address_string(), *args)
+
+        def _reply(self, code: int, body: bytes,
+                   ctype: str = "application/json",
+                   headers: dict | None = None) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _err(self, code: int, msg: str) -> None:
+            self._reply(code, json.dumps({"error": msg}).encode())
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                import jax
+                self._reply(200, json.dumps({
+                    "status": "ok",
+                    "platform": jax.devices()[0].platform,
+                    "dtype": batcher.engine.dtype,
+                }).encode())
+            elif path == "/stats":
+                self._reply(200, json.dumps(stats.snapshot()).encode())
+            else:
+                self._err(404, f"no such endpoint: {path}")
+
+        def do_POST(self):
+            t0 = time.perf_counter()
+            url = urlparse(self.path)
+            if url.path != "/v1/unshadow":
+                self._err(404, f"no such endpoint: {url.path}")
+                return
+            output = parse_qs(url.query).get("output", ["shadowless"])[0]
+            if output not in ("shadowless", "matte"):
+                self._err(400, "output must be shadowless|matte")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                length = 0
+            if length <= 0:
+                self._err(411, "Content-Length required")
+                return
+            if length > max_body:
+                self._err(413, f"body over {max_body} bytes")
+                return
+            ok = False
+            try:
+                img = imdecode_color(self.rfile.read(length))
+                matte, shadowless = batcher.submit(img).result(
+                    timeout=request_timeout_s)
+                png = imencode_png(matte if output == "matte"
+                                   else shadowless)
+                ms = (time.perf_counter() - t0) * 1e3
+                self._reply(200, png, ctype="image/png", headers={
+                    "X-Latency-Ms": f"{ms:.1f}",
+                    "X-Output": output,
+                })
+                ok = True
+            except ValueError as exc:
+                self._err(400, str(exc))
+            except TimeoutError:
+                self._err(504, "inference timed out")
+            except Exception as exc:  # pragma: no cover - defensive
+                logger.exception("request failed")
+                self._err(500, str(exc))
+            finally:
+                stats.record_request((time.perf_counter() - t0) * 1e3,
+                                     error=not ok)
+
+    return Handler
+
+
+class ShadowRemovalServer:
+    """Engine + batcher + threaded HTTP server, started together."""
+
+    def __init__(self, engine: InferenceEngine, *, host: str = "127.0.0.1",
+                 port: int = 8650, window_ms: float = 5.0,
+                 max_body_mb: float = 32.0,
+                 request_timeout_s: float = 600.0):
+        self.stats = ServerStats()
+        self.batcher = MicroBatcher(engine, window_ms=window_ms,
+                                    stats=self.stats)
+        handler = _make_handler(self.batcher, self.stats,
+                                int(max_body_mb * 1024 * 1024),
+                                request_timeout_s)
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self.httpd.server_address[:2]
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.close()
+
+
+def _parse_sizes(spec: str) -> list[tuple[int, int]]:
+    out = []
+    for part in spec.split(","):
+        if not part.strip():
+            continue
+        h, w = part.lower().split("x")
+        out.append((int(h), int(w)))
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="Shadow-removal serving daemon (stacked G1+G2)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8650)
+    ap.add_argument("--net-G", default="mnet",
+                    choices=["unet", "mnet", "denseunet", "stcgan"])
+    ap.add_argument("--ngf", type=int, default=64)
+    ap.add_argument("--droprate", type=float, default=0.0)
+    ap.add_argument("--activation", default="tanh")
+    ap.add_argument("--no-nn-upconv", action="store_true",
+                    help="use ConvTranspose upsampling instead of "
+                         "NN-upsample+conv")
+    ap.add_argument("--use-selu", action="store_true")
+    ap.add_argument("--split-skip", action="store_true",
+                    help="MNet split-skip decoder (eval-only exact "
+                         "rewrite; see benchmarks/ab_split_skip.py)")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--load-weights-g1", required=True,
+                    help="G1 msgpack weight file (trainer output)")
+    ap.add_argument("--load-weights-g2", required=True)
+    ap.add_argument("--pad-multiple", type=int, default=None)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--batch-window-ms", type=float, default=5.0)
+    ap.add_argument("--max-body-mb", type=float, default=32.0)
+    ap.add_argument("--warmup", default="480x640",
+                    help="comma-separated HxW list to pre-compile "
+                         "('' to skip)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu); env vars "
+                         "are too late — jax is pre-imported in some "
+                         "environments")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    engine = InferenceEngine(
+        args.net_G, ngf=args.ngf, droprate=args.droprate,
+        nn_upconv=not args.no_nn_upconv, use_selu=args.use_selu,
+        activation=args.activation, dtype=args.dtype,
+        split_skip=args.split_skip, pad_multiple=args.pad_multiple,
+        max_batch=args.max_batch)
+    engine.load_weights(args.load_weights_g1, args.load_weights_g2)
+    sizes = _parse_sizes(args.warmup)
+    if sizes:
+        logger.info("warming up %s ...", sizes)
+        engine.warmup(sizes)
+
+    server = ShadowRemovalServer(engine, host=args.host, port=args.port,
+                                 window_ms=args.batch_window_ms,
+                                 max_body_mb=args.max_body_mb)
+    stop = threading.Event()
+
+    def _on_signal(signum, frame):
+        logger.info("signal %d: shutting down", signum)
+        stop.set()
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    logger.info("serving on http://%s:%d (dtype=%s, max_batch=%d, "
+                "window=%.1fms)", *server.address, args.dtype,
+                args.max_batch, args.batch_window_ms)
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

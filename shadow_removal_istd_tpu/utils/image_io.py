@@ -52,6 +52,38 @@ def imwrite(path: str, img: np.ndarray) -> None:
     Image.fromarray(img).save(path)
 
 
+def imdecode_color(data: bytes) -> np.ndarray:
+    """Decode encoded image bytes (PNG/JPEG/...) to HxWx3 uint8 BGR.
+
+    The in-memory twin of :func:`imread_color` for the serving path,
+    where requests arrive as bytes rather than files."""
+    if _cv is not None:
+        img = _cv.imdecode(np.frombuffer(data, np.uint8), _cv.IMREAD_COLOR)
+        if img is None:
+            raise ValueError("could not decode image bytes")
+        return img
+    import io
+
+    img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    return img[..., ::-1].copy()  # RGB -> BGR
+
+
+def imencode_png(img: np.ndarray) -> bytes:
+    """Encode a uint8 image (3-channel interpreted as BGR) to PNG bytes."""
+    if _cv is not None:
+        ok, buf = _cv.imencode(".png", img)
+        if not ok:
+            raise IOError("PNG encode failed")
+        return buf.tobytes()
+    import io
+
+    if img.ndim == 3:
+        img = img[..., ::-1]  # BGR -> RGB
+    out = io.BytesIO()
+    Image.fromarray(img).save(out, format="PNG")
+    return out.getvalue()
+
+
 def normalize_percentile(array: np.ndarray, lower: float = 3.0,
                          upper: float = 97.0) -> np.ndarray:
     """Percentile contrast stretch to uint8 (reference

@@ -1,0 +1,250 @@
+"""Serving path: bucketed engine, micro-batcher, HTTP daemon.
+
+The reference has no serving component (its inference is the offline
+directory loop, src/cgan.py:420-464); these tests cover the beyond-
+reference online path end-to-end over a real local HTTP socket.
+"""
+
+import http.client
+import json
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shadow_removal_istd_tpu.serving import (
+    InferenceEngine,
+    MicroBatcher,
+    ServerStats,
+    ShadowRemovalServer,
+)
+from shadow_removal_istd_tpu.utils.image_io import (
+    imdecode_color,
+    imencode_png,
+)
+
+ENGINE_KW = dict(ngf=4, dtype="float32", max_batch=4)
+
+
+def _img(h, w, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return InferenceEngine("mnet", **ENGINE_KW)
+
+
+class TestEngine:
+    def test_bucket_rounding(self, engine):
+        assert engine.bucket_of(40, 56) == (64, 64)
+        assert engine.bucket_of(64, 64) == (64, 64)
+        assert engine.bucket_of(65, 64) == (96, 64)
+
+    def test_output_shapes_and_crop(self, engine):
+        img = _img(40, 56)
+        (matte, clean), = engine.infer_group([img])
+        assert matte.shape == (40, 56) and matte.dtype == np.uint8
+        assert clean.shape == (40, 56, 3) and clean.dtype == np.uint8
+
+    def test_matches_direct_apply(self, engine):
+        """The engine's in-graph pipeline == pad + normalize + G1/G2 +
+        denormalize + quantize done by hand (within jit-vs-eager conv
+        reassociation, i.e. <=1 uint8 level)."""
+        img = _img(40, 56, seed=3)
+        (matte, clean), = engine.infer_group([img])
+        padded = np.full((1, 64, 64, 3), 128, np.uint8)
+        padded[0, :40, :56] = img
+        x = jnp.asarray(padded, jnp.float32) * (2.0 / 255.0) - 1.0
+        m = engine.g1.apply(engine.v1, x)
+        y = engine.g2.apply(engine.v2, jnp.concatenate([x, m], axis=-1))
+        ref = np.asarray(jnp.clip(y * 0.5 + 0.5, 0, 1) * 255.0
+                         ).astype(np.uint8)[0, :40, :56]
+        diff = np.abs(clean.astype(np.int16) - ref.astype(np.int16))
+        assert diff.max() <= 1
+
+    def test_deterministic(self, engine):
+        img = _img(32, 32, seed=5)
+        a = engine.infer_group([img])
+        b = engine.infer_group([img])
+        np.testing.assert_array_equal(a[0][1], b[0][1])
+
+    def test_batch_padding_does_not_leak(self, engine):
+        """A 3-image group pads the device batch to 4; each image's
+        result must equal its single-dispatch result (batch entries
+        are independent in eval mode: no BN batch coupling)."""
+        imgs = [_img(32, 32, seed=s) for s in range(3)]
+        grouped = engine.infer_group(imgs)
+        for img, (gm, gy) in zip(imgs, grouped):
+            (sm, sy), = engine.infer_group([img])
+            np.testing.assert_array_equal(gm, sm)
+            np.testing.assert_array_equal(gy, sy)
+
+    def test_mixed_buckets_rejected(self, engine):
+        with pytest.raises(ValueError, match="mixed buckets"):
+            engine.infer_group([_img(32, 32), _img(96, 96)])
+
+    def test_weight_roundtrip(self, tmp_path, engine):
+        """load_weights restores exactly the trainer's msgpack format
+        (engine/checkpoint.py payload = {params, batch_stats})."""
+        from flax import serialization
+
+        for name, variables in (("g1", engine.v1), ("g2", engine.v2)):
+            payload = {"params": variables["params"],
+                       "batch_stats": variables.get("batch_stats", {})}
+            (tmp_path / f"{name}.msgpack").write_bytes(
+                serialization.to_bytes(jax.device_get(payload)))
+        fresh = InferenceEngine("mnet", seed=7, **ENGINE_KW)
+        before = fresh.infer_group([_img(32, 32)])[0][1]
+        fresh.load_weights(str(tmp_path / "g1.msgpack"),
+                           str(tmp_path / "g2.msgpack"))
+        after = fresh.infer_group([_img(32, 32)])[0][1]
+        want = engine.infer_group([_img(32, 32)])[0][1]
+        assert not np.array_equal(before, want)  # seed 7 != seed 0
+        np.testing.assert_array_equal(after, want)
+
+    def test_bf16_engine_runs(self):
+        eng = InferenceEngine("mnet", ngf=4, dtype="bfloat16",
+                              max_batch=2)
+        (matte, clean), = eng.infer_group([_img(32, 32)])
+        assert clean.shape == (32, 32, 3)
+        # params actually cast (the flagship-bench serving numerics)
+        leaf = jax.tree_util.tree_leaves(eng.v1["params"])[0]
+        assert leaf.dtype == jnp.bfloat16
+
+
+class TestMicroBatcher:
+    def test_coalesces_concurrent_requests(self, engine):
+        stats = ServerStats()
+        b = MicroBatcher(engine, window_ms=300.0, stats=stats)
+        try:
+            futs = [b.submit(_img(32, 32, seed=s)) for s in range(4)]
+            outs = [f.result(timeout=120) for f in futs]
+            assert all(o[1].shape == (32, 32, 3) for o in outs)
+            snap = stats.snapshot()
+            assert snap["images"] == 4
+            assert snap["max_batch"] >= 2  # coalesced within the window
+        finally:
+            b.close()
+
+    def test_error_resolves_future(self, engine):
+        b = MicroBatcher(engine, window_ms=0.0)
+        try:
+            bad = np.zeros((0, 0, 3), np.uint8)  # empty -> model error
+            with pytest.raises(Exception):
+                b.submit(bad).result(timeout=120)
+            # loop survives: a good request still completes
+            good = b.submit(_img(32, 32)).result(timeout=120)
+            assert good[1].shape == (32, 32, 3)
+        finally:
+            b.close()
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    srv = ShadowRemovalServer(engine, port=0, window_ms=20.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _post(server, body, path="/v1/unshadow", headers=None):
+    host, port = server.address
+    conn = http.client.HTTPConnection(host, port, timeout=300)
+    try:
+        conn.request("POST", path, body=body,
+                     headers=headers or {})
+        resp = conn.getresponse()
+        return resp.status, dict(resp.getheaders()), resp.read()
+    finally:
+        conn.close()
+
+
+def _get(server, path):
+    host, port = server.address
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    try:
+        conn.request("GET", path)
+        resp = conn.getresponse()
+        return resp.status, resp.read()
+    finally:
+        conn.close()
+
+
+class TestHTTP:
+    def test_healthz(self, server):
+        status, body = _get(server, "/healthz")
+        assert status == 200
+        info = json.loads(body)
+        assert info["status"] == "ok" and "platform" in info
+
+    def test_unshadow_roundtrip(self, server, engine):
+        img = _img(40, 56, seed=11)
+        status, headers, body = _post(server, imencode_png(img))
+        assert status == 200
+        assert headers["Content-Type"] == "image/png"
+        out = imdecode_color(body)
+        # HTTP result == direct engine result on the decoded image
+        want = engine.infer_group([img])[0][1]
+        np.testing.assert_array_equal(out, want)
+
+    def test_matte_output(self, server, engine):
+        img = _img(32, 32, seed=12)
+        status, headers, body = _post(
+            server, imencode_png(img), path="/v1/unshadow?output=matte")
+        assert status == 200
+        import cv2
+        matte = cv2.imdecode(np.frombuffer(body, np.uint8),
+                             cv2.IMREAD_GRAYSCALE)
+        np.testing.assert_array_equal(
+            matte, engine.infer_group([img])[0][0])
+
+    def test_bad_requests(self, server):
+        status, _, body = _post(server, b"not an image")
+        assert status == 400
+        status, _, _ = _post(server, imencode_png(_img(8, 8)),
+                             path="/v1/unshadow?output=bogus")
+        assert status == 400
+        status, _, _ = _post(server, b"", path="/v1/unshadow")
+        assert status == 411
+        status, _ = _get(server, "/nope")
+        assert status == 404
+
+    def test_concurrent_requests_and_stats(self, server):
+        imgs = [imencode_png(_img(32, 32, seed=s)) for s in range(4)]
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            results = list(pool.map(lambda b: _post(server, b), imgs))
+        assert all(r[0] == 200 for r in results)
+        # decoded outputs for identical inputs must be identical
+        a = _post(server, imgs[0])[2]
+        b = _post(server, imgs[0])[2]
+        assert a == b
+        status, body = _get(server, "/stats")
+        assert status == 200
+        snap = json.loads(body)
+        assert snap["requests"] >= 6
+        assert snap["batches"] >= 1
+        assert "latency_ms" in snap
+
+    def test_payload_cap(self, engine):
+        srv = ShadowRemovalServer(engine, port=0, window_ms=0.0,
+                                  max_body_mb=0.001)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                try:
+                    status, _, _ = _post(srv, b"x" * 4096)
+                    break
+                except ConnectionRefusedError:  # pragma: no cover
+                    time.sleep(0.1)
+            assert status == 413
+        finally:
+            srv.shutdown()
