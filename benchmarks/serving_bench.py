@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--window-ms", type=float, default=5.0)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--ngf", type=int, default=64)
+    ap.add_argument("--devices", type=int, default=None,
+                    help="data-parallel serving over the first N devices")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--platform", default=None,
@@ -69,7 +71,8 @@ def main():
 
     h, w = (int(v) for v in args.size.lower().split("x"))
     engine = InferenceEngine("mnet", ngf=args.ngf, dtype=args.dtype,
-                             max_batch=args.max_batch)
+                             max_batch=args.max_batch,
+                             devices=args.devices)
     ladder = [1 << i for i in range((args.max_batch).bit_length())
               if 1 << i <= args.max_batch]
     if ladder[-1] != args.max_batch:

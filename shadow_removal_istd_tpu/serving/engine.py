@@ -59,7 +59,7 @@ class InferenceEngine:
                  use_selu: bool = False, activation: str = "tanh",
                  dtype: str = "bfloat16", split_skip: bool = False,
                  pad_multiple: int | None = None, max_batch: int = 8,
-                 seed: int = 0):
+                 devices: int | None = None, seed: int = 0):
         if dtype not in ("float32", "bfloat16"):
             raise ValueError(f"dtype must be float32|bfloat16, got {dtype}")
         self.dtype = dtype
@@ -84,7 +84,30 @@ class InferenceEngine:
                 lambda a: (a.astype(jnp.bfloat16)
                            if a.dtype == jnp.float32 else a),
                 (self.v1, self.v2))
+        # Data-parallel serving: batch sharded over a 1-D mesh, params
+        # replicated; GSPMD partitions the stacked forward (the same
+        # scale-out story as training, parallel/mesh.py).
+        self.mesh = None
+        self._batch_sharding = None
+        if devices is not None and devices > 1:
+            from shadow_removal_istd_tpu.parallel.mesh import (
+                batch_sharding,
+                make_mesh,
+            )
+            self.mesh = make_mesh(devices)
+            self._batch_sharding = batch_sharding(self.mesh)
+            self._place_params()
         self._infer = jax.jit(self._stacked)
+
+    def _place_params(self) -> None:
+        if self.mesh is None:
+            return
+        from shadow_removal_istd_tpu.parallel.mesh import (
+            replicated_sharding,
+        )
+        rep = replicated_sharding(self.mesh)
+        self.v1 = jax.device_put(self.v1, rep)
+        self.v2 = jax.device_put(self.v2, rep)
 
     # -- weights ------------------------------------------------------
 
@@ -113,6 +136,7 @@ class InferenceEngine:
         (``G1_*.msgpack`` / ``G2_*.msgpack``, engine/checkpoint.py)."""
         self.v1 = self._load_one(self.v1, g1_path)
         self.v2 = self._load_one(self.v2, g2_path)
+        self._place_params()
 
     # -- inference ----------------------------------------------------
 
@@ -150,9 +174,14 @@ class InferenceEngine:
         bh, bw = buckets.pop()
         n = len(imgs)
         bp = min(_next_pow2(n), max(self.max_batch, n))
+        if self.mesh is not None:  # equal per-device shards
+            nd = self.mesh.size
+            bp = math.ceil(bp / nd) * nd
         batch = np.full((bp, bh, bw, 3), 128, np.uint8)
         for i, im in enumerate(imgs):
             batch[i, :im.shape[0], :im.shape[1]] = im
+        if self._batch_sharding is not None:
+            batch = jax.device_put(batch, self._batch_sharding)
         m_u8, y_u8 = self._infer(self.v1, self.v2, batch)
         m_np = np.asarray(jax.device_get(m_u8))
         y_np = np.asarray(jax.device_get(y_u8))

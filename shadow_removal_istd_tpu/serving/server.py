@@ -307,6 +307,9 @@ def main(argv=None) -> int:
                     help="G1 msgpack weight file (trainer output)")
     ap.add_argument("--load-weights-g2", required=True)
     ap.add_argument("--pad-multiple", type=int, default=None)
+    ap.add_argument("--devices", type=int, default=None,
+                    help="data-parallel serving over the first N "
+                         "devices (batch sharded, params replicated)")
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--batch-window-ms", type=float, default=5.0)
     ap.add_argument("--max-body-mb", type=float, default=32.0)
@@ -330,7 +333,7 @@ def main(argv=None) -> int:
         nn_upconv=not args.no_nn_upconv, use_selu=args.use_selu,
         activation=args.activation, dtype=args.dtype,
         split_skip=args.split_skip, pad_multiple=args.pad_multiple,
-        max_batch=args.max_batch)
+        max_batch=args.max_batch, devices=args.devices)
     engine.load_weights(args.load_weights_g1, args.load_weights_g2)
     sizes = _parse_sizes(args.warmup)
     if sizes:

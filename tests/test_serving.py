@@ -118,6 +118,31 @@ class TestEngine:
         assert leaf.dtype == jnp.bfloat16
 
 
+class TestMultiDeviceServing:
+    """Data-parallel serving: batch sharded over the 8-device CPU mesh
+    (the TPU-native scale-out path), params replicated via GSPMD."""
+
+    def test_matches_single_device(self, engine):
+        assert len(jax.devices()) >= 8  # conftest forces 8 virtual
+        eng8 = InferenceEngine("mnet", devices=8, **ENGINE_KW)
+        imgs = [_img(32, 32, seed=s) for s in range(3)]
+        want = engine.infer_group(imgs)
+        got = eng8.infer_group(imgs)  # pads batch 3 -> 8 shards of 1
+        for (wm, wy), (gm, gy) in zip(want, got):
+            # identical params (same seed); GSPMD partitioning may
+            # reassociate conv reductions -> allow 1 uint8 level
+            assert np.abs(gm.astype(np.int16)
+                          - wm.astype(np.int16)).max() <= 1
+            assert np.abs(gy.astype(np.int16)
+                          - wy.astype(np.int16)).max() <= 1
+
+    def test_batch_padded_to_mesh_multiple(self):
+        eng = InferenceEngine("mnet", ngf=4, dtype="float32",
+                              max_batch=6, devices=4)
+        outs = eng.infer_group([_img(32, 32, seed=s) for s in range(5)])
+        assert len(outs) == 5  # 5 -> device batch 8 (pow2 then /4), crop back
+
+
 class TestMicroBatcher:
     def test_coalesces_concurrent_requests(self, engine):
         stats = ServerStats()
