@@ -257,6 +257,25 @@ class TestHTTP:
         assert snap["batches"] >= 1
         assert "latency_ms" in snap
 
+    REF = "/root/reference/color_adjustment_code"
+
+    @pytest.mark.skipif(not __import__("os").path.isdir(REF),
+                        reason="reference sample images not mounted")
+    def test_real_image_native_resolution(self, server, engine):
+        """The genuine 480x640 ISTD test image round-trips through the
+        daemon at native resolution (480/640 divide MNet's 32 -> the
+        bucket adds no padding, same as the offline infer path)."""
+        from shadow_removal_istd_tpu.utils.image_io import imread_color
+
+        img = imread_color(f"{self.REF}/114-5_shadow.png")
+        assert img.shape == (480, 640, 3)
+        assert engine.bucket_of(480, 640) == (480, 640)
+        status, _, body = _post(server, imencode_png(img))
+        assert status == 200
+        out = imdecode_color(body)
+        assert out.shape == (480, 640, 3)
+        np.testing.assert_array_equal(out, engine.infer_group([img])[0][1])
+
     def test_payload_cap(self, engine):
         srv = ShadowRemovalServer(engine, port=0, window_ms=0.0,
                                   max_body_mb=0.001)
