@@ -51,8 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="Training ST-CGAN model for shadow removal (TPU)")
     parser.add_argument("--tasks", required=True, nargs="+",
-                        choices=["train", "infer"], type=str,
-                        help="the task to run (default: %(default)s)")
+                        choices=["train", "infer", "serve"], type=str,
+                        help="the task to run; 'serve' (beyond the "
+                             "reference) starts the online HTTP daemon "
+                             "on the loaded/trained weights "
+                             "(default: %(default)s)")
     parser.add_argument("--devices", default=["tpu"],
                         type=lambda s: re.split(", *| +", s),
                         help="jax devices/platform (default: %(default)s)")
@@ -157,6 +160,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "optimizer memory past one chip's HBM; "
                              "combines with data parallelism, exclusive "
                              "with --spatial-shard")
+    parser.add_argument("--serve-host", default="127.0.0.1",
+                        help="--tasks serve: bind address")
+    parser.add_argument("--serve-port", default=8650, type=int,
+                        help="--tasks serve: port (0 = ephemeral)")
+    parser.add_argument("--serve-window-ms", default=5.0, type=float,
+                        help="--tasks serve: micro-batching window")
+    parser.add_argument("--serve-max-batch", default=8, type=int,
+                        help="--tasks serve: max coalesced batch")
     parser.add_argument("--pipeline-infer", action="store_true",
                         help="pipeline parallelism for inference: G1 on "
                              "one device group, G2 on the other, matte "
@@ -362,7 +373,8 @@ def main(args) -> None:
     set_logger(os.path.join(args.logs, f"main-{time_str}.log"))
     logger.info("Arguments: %s", args)
 
-    if "infer" in args.tasks and "train" not in args.tasks:
+    if (("infer" in args.tasks or "serve" in args.tasks)
+            and "train" not in args.tasks):
         assert args.load_weights_g1 is not None or args.load_checkpoint, \
             "inference needs --load-weights-g1/g2 or --load-checkpoint"
         if args.load_checkpoint is None:
@@ -435,6 +447,8 @@ def main(args) -> None:
         return
     if "infer" in args.tasks:
         trainer.infer()
+    if "serve" in args.tasks:
+        _serve(trainer, cfg, args)
     if args.export_stablehlo:
         from shadow_removal_istd_tpu.tools.export import (
             export_stacked_inference,
@@ -444,6 +458,47 @@ def main(args) -> None:
             image_shape=tuple(args.export_shape))
         logger.info("serialized serving artifact: %s (%.1f MB)",
                     args.export_stablehlo, nbytes / 1e6)
+
+
+def _serve(trainer, cfg, args) -> None:
+    """``--tasks serve``: hand the (trained or loaded) generator state
+    to the online daemon — no msgpack round-trip. Blocks until
+    SIGTERM/SIGINT (which override the trainer's preemption handler:
+    during serving the graceful action IS shutting the server down)."""
+    import signal
+    import threading
+
+    from shadow_removal_istd_tpu.serving import (
+        InferenceEngine,
+        ShadowRemovalServer,
+    )
+
+    engine = InferenceEngine(
+        cfg.net_g, ngf=cfg.ngf, droprate=cfg.droprate,
+        nn_upconv=cfg.nn_upconv, use_selu=cfg.use_selu,
+        activation=cfg.activation,
+        dtype=("bfloat16" if cfg.compute_dtype == "bfloat16"
+               else "float32"),
+        max_batch=args.serve_max_batch)
+    state = trainer.state
+    engine.set_variables(
+        {"params": state.g_params["g1"],
+         "batch_stats": state.batch_stats["g1"]},
+        {"params": state.g_params["g2"],
+         "batch_stats": state.batch_stats["g2"]})
+    server = ShadowRemovalServer(engine, host=args.serve_host,
+                                 port=args.serve_port,
+                                 window_ms=args.serve_window_ms)
+
+    def _on_signal(signum, frame):
+        logger.info("signal %d: stopping server", signum)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    logger.info("serving on http://%s:%d (POST /v1/unshadow)",
+                *server.address)
+    server.serve_forever()
 
 
 if __name__ == "__main__":

@@ -138,6 +138,27 @@ class InferenceEngine:
         self.v2 = self._load_one(self.v2, g2_path)
         self._place_params()
 
+    def set_variables(self, v1: dict, v2: dict) -> None:
+        """Adopt in-memory variable trees (``{"params", "batch_stats"}``
+        per net, e.g. a live TrainState's g_params/batch_stats — the
+        ``--tasks serve`` path serves straight from training state with
+        no msgpack round-trip). Trees must match this engine's module
+        config (net/ngf/upsample mode)."""
+
+        def conv(v):
+            out = {"params": v["params"],
+                   "batch_stats": v.get("batch_stats") or {}}
+            if self.dtype == "bfloat16":
+                out = jax.tree.map(
+                    lambda a: (a.astype(jnp.bfloat16)
+                               if a.dtype == jnp.float32 else a), out)
+            if not out["batch_stats"]:
+                out.pop("batch_stats")
+            return out
+
+        self.v1, self.v2 = conv(v1), conv(v2)
+        self._place_params()
+
     # -- inference ----------------------------------------------------
 
     def _stacked(self, v1, v2, x_u8):

@@ -108,6 +108,29 @@ class TestEngine:
         assert not np.array_equal(before, want)  # seed 7 != seed 0
         np.testing.assert_array_equal(after, want)
 
+    def test_set_variables_adopts_live_state(self, engine):
+        """The --tasks serve path: hand another engine's variable trees
+        over in memory (no msgpack) and get its exact outputs."""
+        fresh = InferenceEngine("mnet", seed=7, **ENGINE_KW)
+        fresh.set_variables(
+            {"params": engine.v1["params"],
+             "batch_stats": engine.v1.get("batch_stats", {})},
+            {"params": engine.v2["params"],
+             "batch_stats": engine.v2.get("batch_stats", {})})
+        img = _img(32, 32, seed=21)
+        np.testing.assert_array_equal(
+            fresh.infer_group([img])[0][1],
+            engine.infer_group([img])[0][1])
+
+    def test_serve_task_in_cli_surface(self):
+        from shadow_removal_istd_tpu.cli.main import build_parser
+
+        args = build_parser().parse_args(
+            ["--tasks", "serve", "--load-weights-g1", "a",
+             "--load-weights-g2", "b", "--serve-port", "0"])
+        assert args.tasks == ["serve"] and args.serve_port == 0
+        assert args.serve_window_ms == 5.0
+
     def test_bf16_engine_runs(self):
         eng = InferenceEngine("mnet", ngf=4, dtype="bfloat16",
                               max_batch=2)
