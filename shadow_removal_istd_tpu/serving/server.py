@@ -182,7 +182,12 @@ def _make_handler(batcher: MicroBatcher, stats: ServerStats,
             self.wfile.write(body)
 
         def _err(self, code: int, msg: str) -> None:
-            self._reply(code, json.dumps({"error": msg}).encode())
+            # error replies may precede reading the request body; the
+            # unread bytes would desync HTTP/1.1 keep-alive parsing,
+            # so close the connection after an error
+            self.close_connection = True
+            self._reply(code, json.dumps({"error": msg}).encode(),
+                        headers={"Connection": "close"})
 
         def do_GET(self):
             path = urlparse(self.path).path

@@ -264,6 +264,21 @@ class TestHTTP:
         status, _ = _get(server, "/nope")
         assert status == 404
 
+    def test_error_reply_closes_connection(self, server):
+        """Errors can be sent before the body is read; keep-alive would
+        desync on the unread bytes, so error replies must close."""
+        host, port = server.address
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        try:
+            conn.request("POST", "/v1/unshadow?output=bogus",
+                         body=b"x" * 1000)
+            resp = conn.getresponse()
+            assert resp.status == 400
+            assert resp.getheader("Connection") == "close"
+            resp.read()
+        finally:
+            conn.close()
+
     def test_concurrent_requests_and_stats(self, server):
         imgs = [imencode_png(_img(32, 32, seed=s)) for s in range(4)]
         with ThreadPoolExecutor(max_workers=4) as pool:
