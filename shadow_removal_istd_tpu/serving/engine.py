@@ -45,7 +45,75 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
-class InferenceEngine:
+class _EngineCore:
+    """Shared bucketed-dispatch machinery: pad a same-bucket group to
+    a device batch, run the jitted pipeline, crop per-image results.
+
+    Subclasses provide ``bucket_of``, ``max_batch``, ``dtype``, and
+    ``_infer(v1, v2, x_u8) -> (matte_u8, shadowless_u8)`` plus the
+    ``v1``/``v2`` trees (ArtifactEngine carries no variables and
+    ignores them). ``fixed_batch`` (optional) pins the device batch
+    (concrete-batch artifacts); ``mesh``/``_batch_sharding`` (optional)
+    shard the batch for data-parallel serving.
+    """
+
+    mesh = None
+    _batch_sharding = None
+    fixed_batch: int | None = None
+    v1: dict = {}
+    v2: dict = {}
+
+    def infer_group(self, imgs: list[np.ndarray]
+                    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Run one batched dispatch over same-bucket images.
+
+        ``imgs``: HxWx3 uint8 BGR arrays whose sizes map to ONE bucket
+        (the batcher groups by bucket). Returns per image
+        ``(matte HxW uint8, shadow_free HxWx3 uint8 BGR)`` cropped back
+        to the original size.
+        """
+        if not imgs:
+            return []
+        buckets = {self.bucket_of(im.shape[0], im.shape[1])
+                   for im in imgs}
+        if len(buckets) != 1:
+            raise ValueError(f"mixed buckets in one group: {buckets}")
+        bh, bw = buckets.pop()
+        n = len(imgs)
+        if self.fixed_batch is not None:
+            if n > self.fixed_batch:
+                raise ValueError(
+                    f"group of {n} exceeds the artifact's pinned "
+                    f"batch {self.fixed_batch}")
+            bp = self.fixed_batch
+        else:
+            bp = min(_next_pow2(n), max(self.max_batch, n))
+            if self.mesh is not None:  # equal per-device shards
+                nd = self.mesh.size
+                bp = math.ceil(bp / nd) * nd
+        batch = np.full((bp, bh, bw, 3), 128, np.uint8)
+        for i, im in enumerate(imgs):
+            batch[i, :im.shape[0], :im.shape[1]] = im
+        if self._batch_sharding is not None:
+            batch = jax.device_put(batch, self._batch_sharding)
+        m_u8, y_u8 = self._infer(self.v1, self.v2, batch)
+        m_np = np.asarray(jax.device_get(m_u8))
+        y_np = np.asarray(jax.device_get(y_u8))
+        return [(m_np[i, :im.shape[0], :im.shape[1], 0],
+                 y_np[i, :im.shape[0], :im.shape[1]])
+                for i, im in enumerate(imgs)]
+
+    def warmup(self, sizes: list[tuple[int, int]],
+               batch_sizes: list[int] | None = None) -> None:
+        """Pre-compile the (bucket, batch) grid so first requests don't
+        pay XLA compilation (1-5 min per graph through a TPU tunnel)."""
+        for h, w in sizes:
+            for b in (batch_sizes or [1, self.max_batch]):
+                dummy = np.full((h, w, 3), 128, np.uint8)
+                self.infer_group([dummy] * b)
+
+
+class InferenceEngine(_EngineCore):
     """Stacked shadow-removal inference over shape buckets.
 
     Thread-safety: ``infer_group`` may be called from any single
@@ -177,44 +245,52 @@ class InferenceEngine:
         m = self.pad_multiple
         return (math.ceil(h / m) * m, math.ceil(w / m) * m)
 
-    def infer_group(self, imgs: list[np.ndarray]
-                    ) -> list[tuple[np.ndarray, np.ndarray]]:
-        """Run one batched dispatch over same-bucket images.
 
-        ``imgs``: HxWx3 uint8 BGR arrays whose sizes map to ONE bucket
-        (the batcher groups by bucket). Returns per image
-        ``(matte HxW uint8, shadow_free HxWx3 uint8 BGR)`` cropped back
-        to the original size.
-        """
-        if not imgs:
-            return []
-        buckets = {self.bucket_of(im.shape[0], im.shape[1])
-                   for im in imgs}
-        if len(buckets) != 1:
-            raise ValueError(f"mixed buckets in one group: {buckets}")
-        bh, bw = buckets.pop()
-        n = len(imgs)
-        bp = min(_next_pow2(n), max(self.max_batch, n))
-        if self.mesh is not None:  # equal per-device shards
-            nd = self.mesh.size
-            bp = math.ceil(bp / nd) * nd
-        batch = np.full((bp, bh, bw, 3), 128, np.uint8)
-        for i, im in enumerate(imgs):
-            batch[i, :im.shape[0], :im.shape[1]] = im
-        if self._batch_sharding is not None:
-            batch = jax.device_put(batch, self._batch_sharding)
-        m_u8, y_u8 = self._infer(self.v1, self.v2, batch)
-        m_np = np.asarray(jax.device_get(m_u8))
-        y_np = np.asarray(jax.device_get(y_u8))
-        return [(m_np[i, :im.shape[0], :im.shape[1], 0],
-                 y_np[i, :im.shape[0], :im.shape[1]])
-                for i, im in enumerate(imgs)]
+class ArtifactEngine(_EngineCore):
+    """Serve a StableHLO export artifact (tools/export.py) directly.
 
-    def warmup(self, sizes: list[tuple[int, int]],
-               batch_sizes: list[int] | None = None) -> None:
-        """Pre-compile the (bucket, batch) grid so first requests don't
-        pay XLA compilation (1-5 min per graph through a TPU tunnel)."""
-        for h, w in sizes:
-            for b in (batch_sizes or [1, self.max_batch]):
-                dummy = np.full((h, w, 3), 128, np.uint8)
-                self.infer_group([dummy] * b)
+    The deployment story with NO model code on the serving host: the
+    artifact carries the stacked graph with trained params baked in;
+    this engine wraps it with the same uint8-in/uint8-out on-device
+    pipeline (normalize fused before ``exported.call``, quantize
+    after, all one jitted dispatch) and the same bucket/batcher
+    surface as :class:`InferenceEngine`.
+
+    Artifacts are exported at a fixed (H, W) — every request must fit
+    inside it (smaller images are mid-gray padded and cropped back);
+    a pinned-batch artifact also fixes the device batch.
+    """
+
+    def __init__(self, path: str, *, max_batch: int = 8):
+        from jax import export as jax_export
+
+        with open(path, "rb") as f:
+            self._exported = jax_export.deserialize(f.read())
+        (aval,) = self._exported.in_avals
+        b, h, w, c = aval.shape
+        if c != 3:
+            raise ValueError(f"expected NHWC/3 artifact, got {aval}")
+        self.height, self.width = int(h), int(w)
+        self.fixed_batch = int(b) if isinstance(b, int) else None
+        self.max_batch = (self.fixed_batch if self.fixed_batch
+                          else int(max_batch))
+        self.dtype = str(aval.dtype)
+        in_dtype = aval.dtype
+
+        def stacked(v1, v2, x_u8):  # v1/v2 unused: params are baked in
+            x = (x_u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0)
+            m, y = self._exported.call(x.astype(in_dtype))
+            to_u8 = lambda t: (jnp.clip(  # noqa: E731
+                t.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+                * 255.0).astype(jnp.uint8)
+            return to_u8(m), to_u8(y)
+
+        self._infer = jax.jit(stacked)
+
+    def bucket_of(self, h: int, w: int) -> tuple[int, int]:
+        if h > self.height or w > self.width:
+            raise ValueError(
+                f"image {h}x{w} exceeds the artifact's exported "
+                f"{self.height}x{self.width}; re-export with a larger "
+                "--shape")
+        return (self.height, self.width)

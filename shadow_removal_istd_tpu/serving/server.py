@@ -308,9 +308,13 @@ def main(argv=None) -> int:
                          "rewrite; see benchmarks/ab_split_skip.py)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
-    ap.add_argument("--load-weights-g1", required=True,
+    ap.add_argument("--load-weights-g1", default=None,
                     help="G1 msgpack weight file (trainer output)")
-    ap.add_argument("--load-weights-g2", required=True)
+    ap.add_argument("--load-weights-g2", default=None)
+    ap.add_argument("--artifact", default=None,
+                    help="serve a StableHLO export artifact "
+                         "(tools/export.py) instead of weight files — "
+                         "no model zoo involved; fixed HxW")
     ap.add_argument("--pad-multiple", type=int, default=None)
     ap.add_argument("--devices", type=int, default=None,
                     help="data-parallel serving over the first N "
@@ -333,13 +337,19 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    engine = InferenceEngine(
-        args.net_G, ngf=args.ngf, droprate=args.droprate,
-        nn_upconv=not args.no_nn_upconv, use_selu=args.use_selu,
-        activation=args.activation, dtype=args.dtype,
-        split_skip=args.split_skip, pad_multiple=args.pad_multiple,
-        max_batch=args.max_batch, devices=args.devices)
-    engine.load_weights(args.load_weights_g1, args.load_weights_g2)
+    if args.artifact:
+        from shadow_removal_istd_tpu.serving.engine import ArtifactEngine
+        engine = ArtifactEngine(args.artifact, max_batch=args.max_batch)
+    else:
+        if not (args.load_weights_g1 and args.load_weights_g2):
+            ap.error("--load-weights-g1/-g2 required (or --artifact)")
+        engine = InferenceEngine(
+            args.net_G, ngf=args.ngf, droprate=args.droprate,
+            nn_upconv=not args.no_nn_upconv, use_selu=args.use_selu,
+            activation=args.activation, dtype=args.dtype,
+            split_skip=args.split_skip, pad_multiple=args.pad_multiple,
+            max_batch=args.max_batch, devices=args.devices)
+        engine.load_weights(args.load_weights_g1, args.load_weights_g2)
     sizes = _parse_sizes(args.warmup)
     if sizes:
         logger.info("warming up %s ...", sizes)

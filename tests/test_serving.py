@@ -141,6 +141,77 @@ class TestEngine:
         assert leaf.dtype == jnp.bfloat16
 
 
+class TestArtifactServing:
+    """Serve a StableHLO export artifact — the no-model-code-on-host
+    deployment path (tools/export.py -> ArtifactEngine)."""
+
+    @pytest.fixture(scope="class")
+    def artifact(self, tmp_path_factory):
+        from shadow_removal_istd_tpu.engine import (
+            TrainConfig,
+            build_models,
+            init_state,
+        )
+        from shadow_removal_istd_tpu.tools.export import (
+            export_stacked_inference,
+        )
+
+        cfg = TrainConfig(ngf=4, ndf=4, image_size=32, batch_size=2,
+                          use_visual_loss=False, droprate=0.0,
+                          steps_per_epoch=1)
+        models = build_models(cfg)
+        state = init_state(jax.random.key(0), cfg, models)
+        path = str(tmp_path_factory.mktemp("artifact") / "model.shlo")
+        export_stacked_inference(path, state, models,
+                                 image_shape=(64, 64),
+                                 batch_size=None, platforms=("cpu",))
+        return path, models, state
+
+    def test_serves_and_matches_infer_step(self, artifact):
+        from shadow_removal_istd_tpu.engine.steps import make_infer_step
+        from shadow_removal_istd_tpu.serving import ArtifactEngine
+
+        path, models, state = artifact
+        eng = ArtifactEngine(path, max_batch=4)
+        assert (eng.height, eng.width) == (64, 64)
+        assert eng.fixed_batch is None  # symbolic batch
+        img = _img(40, 56, seed=31)
+        (matte, clean), = eng.infer_group([img])
+        assert matte.shape == (40, 56) and clean.shape == (40, 56, 3)
+        # oracle: the engine's own padding + the package infer step
+        padded = np.full((1, 64, 64, 3), 128, np.uint8)
+        padded[0, :40, :56] = img
+        x = jnp.asarray(padded, jnp.float32) * (2.0 / 255.0) - 1.0
+        _, y = make_infer_step(models)(state.g_params,
+                                       state.batch_stats, x)
+        ref = np.asarray(jnp.clip(y * 0.5 + 0.5, 0, 1) * 255.0
+                         ).astype(np.uint8)[0, :40, :56]
+        diff = np.abs(clean.astype(np.int16) - ref.astype(np.int16))
+        assert diff.max() <= 1
+
+    def test_oversize_rejected(self, artifact):
+        from shadow_removal_istd_tpu.serving import ArtifactEngine
+
+        eng = ArtifactEngine(artifact[0])
+        with pytest.raises(ValueError, match="exceeds the artifact"):
+            eng.bucket_of(65, 64)
+
+    def test_http_daemon_over_artifact(self, artifact):
+        from shadow_removal_istd_tpu.serving import ArtifactEngine
+
+        eng = ArtifactEngine(artifact[0], max_batch=2)
+        srv = ShadowRemovalServer(eng, port=0, window_ms=5.0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            img = _img(64, 64, seed=33)
+            status, headers, body = _post(srv, imencode_png(img))
+            assert status == 200
+            np.testing.assert_array_equal(
+                imdecode_color(body), eng.infer_group([img])[0][1])
+        finally:
+            srv.shutdown()
+
+
 class TestMultiDeviceServing:
     """Data-parallel serving: batch sharded over the 8-device CPU mesh
     (the TPU-native scale-out path), params replicated via GSPMD."""
