@@ -201,9 +201,12 @@ class InferenceEngine(_EngineCore):
 
     def load_weights(self, g1_path: str, g2_path: str) -> None:
         """Load the trainer's per-network weight files
-        (``G1_*.msgpack`` / ``G2_*.msgpack``, engine/checkpoint.py)."""
-        self.v1 = self._load_one(self.v1, g1_path)
-        self.v2 = self._load_one(self.v2, g2_path)
+        (``G1_*.msgpack`` / ``G2_*.msgpack``, engine/checkpoint.py).
+        Atomic: a failure on either file leaves both nets unchanged
+        (hot-reload must never half-swap)."""
+        v1 = self._load_one(self.v1, g1_path)
+        v2 = self._load_one(self.v2, g2_path)
+        self.v1, self.v2 = v1, v2
         self._place_params()
 
     def set_variables(self, v1: dict, v2: dict) -> None:

@@ -16,6 +16,8 @@ deployment: a dependency-free (stdlib ``http.server``) daemon that
 
 Endpoints:
   POST /v1/unshadow[?output=shadowless|matte]  image bytes -> PNG
+  POST /admin/reload                           {"g1","g2"} weight paths
+                                               -> zero-downtime reload
   GET  /healthz                                liveness + device
   GET  /stats                                  counters + latency
                                                percentiles (JSON)
@@ -101,6 +103,16 @@ class MicroBatcher:
 
     _CLOSE = object()
 
+    class _Control:
+        """A callable to run ON the batcher thread (which owns the
+        engine) between batches — e.g. a weight hot-reload."""
+
+        __slots__ = ("fn", "fut")
+
+        def __init__(self, fn):
+            self.fn = fn
+            self.fut: Future = Future()
+
     def __init__(self, engine: InferenceEngine, *,
                  window_ms: float = 5.0, stats: ServerStats | None = None):
         self.engine = engine
@@ -117,6 +129,15 @@ class MicroBatcher:
         self._q.put((img_bgr_u8, fut))
         return fut
 
+    def run_on_batcher(self, fn) -> Future:
+        """Execute ``fn()`` on the batcher thread between batches and
+        return a Future of its result. The batcher thread owns the
+        engine, so engine mutation (weight reload) must go through
+        here — never from an HTTP handler thread mid-dispatch."""
+        ctl = self._Control(fn)
+        self._q.put(ctl)
+        return ctl.fut
+
     def close(self) -> None:
         self._q.put(self._CLOSE)
         self._thread.join(timeout=10)
@@ -132,17 +153,27 @@ class MicroBatcher:
                 item = self._q.get(timeout=timeout)
             except queue.Empty:
                 break
-            if item is self._CLOSE:
-                self._q.put(self._CLOSE)  # re-post for the outer loop
+            if item is self._CLOSE or isinstance(item, self._Control):
+                self._q.put(item)  # re-post for the outer loop
                 break
             batch.append(item)
         return batch
+
+    def _run_control(self, ctl) -> None:
+        try:
+            ctl.fut.set_result(ctl.fn())
+        except Exception as exc:
+            logger.exception("control call failed")
+            ctl.fut.set_exception(exc)
 
     def _loop(self) -> None:
         while True:
             item = self._q.get()
             if item is self._CLOSE:
                 return
+            if isinstance(item, self._Control):
+                self._run_control(item)
+                continue
             batch = self._drain(item)
             groups: dict[tuple[int, int], list] = {}
             for img, fut in batch:
@@ -203,9 +234,43 @@ def _make_handler(batcher: MicroBatcher, stats: ServerStats,
             else:
                 self._err(404, f"no such endpoint: {path}")
 
+        def _reload(self):
+            """Zero-downtime weight hot-reload: JSON {"g1": path,
+            "g2": path} -> engine.load_weights on the batcher thread
+            (in-flight batches finish on the old weights; later
+            batches see the new ones atomically). Local-trust admin
+            surface, same as the CLI's filesystem access."""
+            engine = batcher.engine
+            if not hasattr(engine, "load_weights"):
+                self._err(501, "engine serves a baked artifact; "
+                               "restart with a new --artifact instead")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                spec = json.loads(self.rfile.read(length))
+                g1, g2 = spec["g1"], spec["g2"]
+            except Exception:
+                self._err(400, 'expected JSON {"g1": path, "g2": path}')
+                return
+            try:
+                batcher.run_on_batcher(
+                    lambda: engine.load_weights(g1, g2)).result(
+                        timeout=request_timeout_s)
+            except FileNotFoundError as exc:
+                self._err(400, str(exc))
+                return
+            except Exception as exc:
+                logger.exception("reload failed")
+                self._err(500, str(exc))
+                return
+            self._reply(200, json.dumps({"status": "reloaded"}).encode())
+
         def do_POST(self):
             t0 = time.perf_counter()
             url = urlparse(self.path)
+            if url.path == "/admin/reload":
+                self._reload()
+                return
             if url.path != "/v1/unshadow":
                 self._err(404, f"no such endpoint: {url.path}")
                 return

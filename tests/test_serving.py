@@ -208,6 +208,9 @@ class TestArtifactServing:
             assert status == 200
             np.testing.assert_array_equal(
                 imdecode_color(body), eng.infer_group([img])[0][1])
+            # baked artifacts cannot hot-reload weights
+            status, _, _ = _post(srv, b"{}", path="/admin/reload")
+            assert status == 501
         finally:
             srv.shutdown()
 
@@ -384,6 +387,41 @@ class TestHTTP:
         out = imdecode_color(body)
         assert out.shape == (480, 640, 3)
         np.testing.assert_array_equal(out, engine.infer_group([img])[0][1])
+
+    def test_hot_reload(self, tmp_path, engine):
+        """POST /admin/reload swaps weights with zero downtime; the
+        mutation runs on the batcher thread, never racing a dispatch."""
+        from flax import serialization
+
+        donor = InferenceEngine("mnet", seed=7, **ENGINE_KW)
+        for name, variables in (("g1", donor.v1), ("g2", donor.v2)):
+            payload = {"params": variables["params"],
+                       "batch_stats": variables.get("batch_stats", {})}
+            (tmp_path / f"{name}.msgpack").write_bytes(
+                serialization.to_bytes(jax.device_get(payload)))
+        own = InferenceEngine("mnet", **ENGINE_KW)  # seed 0
+        srv = ShadowRemovalServer(own, port=0, window_ms=0.0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            img = _img(32, 32, seed=41)
+            png = imencode_png(img)
+            before = _post(srv, png)[2]
+            status, _, _ = _post(
+                srv, json.dumps({"g1": str(tmp_path / "g1.msgpack"),
+                                 "g2": str(tmp_path / "g2.msgpack")}
+                                ).encode(), path="/admin/reload")
+            assert status == 200
+            after = _post(srv, png)[2]
+            assert after != before
+            np.testing.assert_array_equal(
+                imdecode_color(after), donor.infer_group([img])[0][1])
+            # bad specs are 400s, not crashes
+            assert _post(srv, b"{}", path="/admin/reload")[0] == 400
+            assert _post(srv, json.dumps(
+                {"g1": "/nope", "g2": "/nope"}).encode(),
+                path="/admin/reload")[0] == 400
+        finally:
+            srv.shutdown()
 
     def test_payload_cap(self, engine):
         srv = ShadowRemovalServer(engine, port=0, window_ms=0.0,
