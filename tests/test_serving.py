@@ -141,6 +141,79 @@ class TestEngine:
         assert leaf.dtype == jnp.bfloat16
 
 
+@pytest.mark.slow
+class TestServeTaskSubprocess:
+    def test_cli_serve_task_end_to_end(self, tmp_path):
+        """--tasks serve on the real CLI in a real process: starts,
+        answers HTTP on the loaded weights, exits cleanly on SIGTERM
+        (the production train-then-serve surface)."""
+        import signal
+        import socket
+        import subprocess
+        import sys
+
+        from shadow_removal_istd_tpu.engine import (
+            TrainConfig,
+            build_models,
+            init_state,
+        )
+        from shadow_removal_istd_tpu.engine.checkpoint import (
+            save_model_weights,
+        )
+
+        cfg = TrainConfig(ngf=4, ndf=4, image_size=32, batch_size=2,
+                          use_visual_loss=False, droprate=0.0,
+                          steps_per_epoch=1)
+        models = build_models(cfg)
+        state = init_state(jax.random.key(0), cfg, models)
+        save_model_weights(state, models, str(tmp_path), "best")
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "shadow_removal_istd_tpu.cli.main",
+             "--tasks", "serve", "--devices", "cpu", "--ngf", "4",
+             "--ndf", "4", "--droprate", "0",
+             "--serve-port", str(port),
+             "--load-weights-g1",
+             str(tmp_path / "G1_MNet_best.msgpack"),
+             "--load-weights-g2",
+             str(tmp_path / "G2_MNet_best.msgpack"),
+             "--logs", str(tmp_path / "logs")],
+            env=env, cwd="/root/repo")
+        try:
+            deadline = time.time() + 120
+            up = False
+            while time.time() < deadline:
+                try:
+                    conn = http.client.HTTPConnection(
+                        "127.0.0.1", port, timeout=5)
+                    conn.request("GET", "/healthz")
+                    up = conn.getresponse().status == 200
+                    conn.close()
+                    if up:
+                        break
+                except OSError:
+                    time.sleep(1.0)
+                assert proc.poll() is None, "server process died"
+            assert up, "daemon never became healthy"
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=120)
+            conn.request("POST", "/v1/unshadow",
+                         body=imencode_png(_img(32, 32, seed=50)))
+            resp = conn.getresponse()
+            png = resp.read()
+            conn.close()
+            assert resp.status == 200
+            assert imdecode_color(png).shape == (32, 32, 3)
+            proc.send_signal(signal.SIGTERM)
+            assert proc.wait(timeout=30) == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+
+
 class TestArtifactServing:
     """Serve a StableHLO export artifact — the no-model-code-on-host
     deployment path (tools/export.py -> ArtifactEngine)."""
