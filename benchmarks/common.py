@@ -41,10 +41,17 @@ def fill_params_bf16(model, x_shape, dtype=jnp.bfloat16) -> dict:
                    else jnp.zeros(s.shape, s.dtype)), shapes)
 
 
-def stub_torchvision() -> None:
+def stub_torchvision(vgg_features=None) -> None:
     """Stub torchvision so the reference's modules import without it
-    (the reference's loss module pulls in torchvision's VGG at import;
-    none of the comparison benches need it)."""
+    (the reference's loss module pulls in torchvision's VGG at import).
+
+    With ``vgg_features`` (a torch ``nn.Sequential`` in torchvision's
+    ``vgg19_bn().features`` layout), the stub is FUNCTIONAL: the
+    reference's ``VisualLoss.__init__`` (src/loss.py:37-43) can call
+    ``models.vgg19_bn(...).features[:40]`` and ``transforms.Normalize``
+    verbatim, so the VGG-on parity benchmark drives the reference's own
+    loss module rather than a reimplementation.
+    """
     import types as _types
 
     import sys as _sys
@@ -52,9 +59,76 @@ def stub_torchvision() -> None:
     for _n in ("torchvision", "torchvision.models",
                "torchvision.transforms"):
         _sys.modules.setdefault(_n, _types.ModuleType(_n))
-    _sys.modules["torchvision"].models = _sys.modules["torchvision.models"]
-    _sys.modules["torchvision"].transforms = (
-        _sys.modules["torchvision.transforms"])
+    tv = _sys.modules["torchvision"]
+    tv.models = _sys.modules["torchvision.models"]
+    tv.transforms = _sys.modules["torchvision.transforms"]
+    if vgg_features is not None:
+        import torch
+
+        class _VGGContainer:
+            def __init__(self, features):
+                self.features = features
+
+        class _Normalize:
+            """transforms.Normalize for CHW tensors (the only use the
+            reference makes of it, src/loss.py:42-43, per-image via
+            torch.unbind so no batch dim here)."""
+
+            def __init__(self, mean, std):
+                self.mean = torch.tensor(mean).view(-1, 1, 1)
+                self.std = torch.tensor(std).view(-1, 1, 1)
+
+            def __call__(self, t):
+                return (t - self.mean) / self.std
+
+        tv.models.vgg19_bn = (
+            lambda pretrained=True, progress=False, **kw:
+            _VGGContainer(vgg_features))
+        tv.transforms.Normalize = _Normalize
+
+
+def build_random_vgg19_bn_features(seed: int = 0):
+    """A torch ``vgg19_bn().features`` stack (torchvision cfg "E"
+    layout through pool4, 40 modules) with RANDOM weights.
+
+    For offline parity the comparison needs SHARED weights, not
+    pretrained ones (no torchvision / no egress here). Init is chosen
+    for sane feature magnitudes — Kaiming-normal convs (ReLU gain) keep
+    activations O(1) through 16 layers where torch's N(0, .05) default
+    in the unit tests inflates them to O(100) — so λ5=50 on the feature
+    MSE trains stably like the pretrained net does. BN is identity
+    (scale 1, running stats (0,1)): frozen-eval BN is an affine map, so
+    identity loses no generality for parity purposes.
+    """
+    import torch
+
+    cfg_e = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+             512, 512, 512, 512, "M"]
+    layers: list = []
+    in_ch = 3
+    for spec in cfg_e:
+        if spec == "M":
+            layers.append(torch.nn.MaxPool2d(kernel_size=2, stride=2))
+        else:
+            layers.append(torch.nn.Conv2d(in_ch, spec, 3, padding=1))
+            layers.append(torch.nn.BatchNorm2d(spec))
+            layers.append(torch.nn.ReLU(inplace=True))
+            in_ch = spec
+    seq = torch.nn.Sequential(*layers)
+    assert len(seq) == 40
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        for m in seq.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                torch.nn.init.kaiming_normal_(m.weight,
+                                              nonlinearity="relu")
+                torch.nn.init.zeros_(m.bias)
+            elif isinstance(m, torch.nn.BatchNorm2d):
+                torch.nn.init.ones_(m.weight)
+                torch.nn.init.zeros_(m.bias)
+                torch.nn.init.zeros_(m.running_mean)
+                torch.nn.init.ones_(m.running_var)
+    return seq
 
 
 def build_stacked(h: int, w: int, *, batch: int, steps: int,

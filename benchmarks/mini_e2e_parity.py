@@ -47,11 +47,11 @@ def build_dataset(n, size, seed=0):
     return to_f(d["img"]), to_f(d["matte"]), to_f(d["target"]), d
 
 
-def torch_setup(cfg, ngf, ndf):
+def torch_setup(cfg, ngf, ndf, vgg_features=None):
     from benchmarks.common import stub_torchvision
 
     sys.path.insert(0, "/root/reference")
-    stub_torchvision()
+    stub_torchvision(vgg_features)
     import torch
     from src import networks as rn
     torch.manual_seed(0)
@@ -77,6 +77,13 @@ def torch_train(nets, cfg, batches_per_epoch, epochs):
     import torch
     from src.loss import AdversarialLoss, DataLoss
     tG1, tG2, tD1, tD2 = nets
+    vis = None
+    if cfg.use_visual_loss:
+        # the reference's OWN VisualLoss module (src/loss.py:29-56),
+        # running on the functional torchvision stub (shared random
+        # VGG-19-BN weights installed by torch_setup)
+        from src.loss import VisualLoss
+        vis = VisualLoss()
     optim_G = torch.optim.Adam(
         list(tG1.parameters()) + list(tG2.parameters()),
         lr=cfg.lr_g, betas=(cfg.beta1, cfg.beta2), eps=cfg.adam_eps)
@@ -120,6 +127,13 @@ def torch_train(nets, cfg, batches_per_epoch, epochs):
             G_loss = (dl(m_pred, tm) + cfg.lambda1 * dl(y_pred, ty)
                       + cfg.lambda2 * adv(C1_real, C1_fake, D_loss=False)
                       + cfg.lambda3 * adv(C2_real, C2_fake, D_loss=False))
+            if vis is not None:
+                # reference G-loss visual terms (src/cgan.py:334-340):
+                # matte expanded to 3 channels on both branches
+                G_loss = (G_loss
+                          + cfg.lambda4 * vis(m_pred.expand(-1, 3, -1, -1),
+                                              tm.expand(-1, 3, -1, -1))
+                          + cfg.lambda5 * vis(y_pred, ty))
             G_loss.backward()
             optim_G.step()
         sch_G.step()
@@ -173,6 +187,13 @@ def main(argv=None):
                         "src/cgan.py:160-162) -> deterministic-ish "
                         "supervised objective, the low-variance "
                         "complement to the chaotic GAN comparison")
+    p.add_argument("--visual", action="store_true",
+                   help="train BOTH sides with the reference's DEFAULT "
+                        "objective: VGG-19-BN perceptual terms ON "
+                        "(lambda4=5, lambda5=50, src/main.py:227-236; "
+                        "both forwards per step, src/cgan.py:334-340) "
+                        "with SHARED random VGG weights bridged through "
+                        "the real converter path")
     p.add_argument("--order-seed", type=int, default=1234,
                    help="batch-order RNG seed (vary to estimate GAN "
                         "run-to-run variance under identical init)")
@@ -218,11 +239,29 @@ def main(argv=None):
 
     cfg = TrainConfig(net_d=args.net_d, d_type="normal", ngf=args.ngf,
                       ndf=args.ngf, droprate=0.0, image_size=args.size,
-                      batch_size=args.batch, use_visual_loss=False,
-                      lambda4=0.0, lambda5=0.0,
+                      batch_size=args.batch,
+                      use_visual_loss=args.visual,
+                      lambda4=5.0 if args.visual else 0.0,
+                      lambda5=50.0 if args.visual else 0.0,
                       steps_per_epoch=steps)
 
-    nets = torch_setup(cfg, args.ngf, args.ngf)
+    vgg_features = None
+    vgg_vars = None
+    if args.visual:
+        import tempfile
+
+        from benchmarks.common import build_random_vgg19_bn_features
+        from shadow_removal_istd_tpu.models.vgg import load_vgg_variables
+        from shadow_removal_istd_tpu.tools.convert_vgg import (
+            convert_state_dict,
+        )
+        vgg_features = build_random_vgg19_bn_features(seed=7)
+        with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+            np.savez(f.name, **convert_state_dict(
+                vgg_features.state_dict()))
+            vgg_vars = load_vgg_variables(f.name)
+
+    nets = torch_setup(cfg, args.ngf, args.ngf, vgg_features)
     models = build_models(cfg)
     x0 = x_all[:1]
     xm0 = np.concatenate([x0, m_all[:1]], -1)
@@ -243,7 +282,7 @@ def main(argv=None):
                           opt_d=tx_d.init(state.d_params))
 
     t0 = time.time()
-    state, _ = jax_train(state, make_train_step(models, cfg),
+    state, _ = jax_train(state, make_train_step(models, cfg, vgg_vars),
                          batches_per_epoch, args.epochs)
     t_jax = time.time() - t0
     t0 = time.time()
@@ -285,6 +324,7 @@ def main(argv=None):
 
     result = {
         "metric": "mini e2e accuracy parity (LAB RMSE all-region)",
+        "visual": bool(args.visual),
         "net_d": args.net_d, "order_seed": args.order_seed,
         "epochs": args.epochs, "images": args.n, "size": args.size,
         "rmse_all_jax": round(res_jax["rmse_all"], 4),
