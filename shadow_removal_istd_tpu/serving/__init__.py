@@ -8,6 +8,7 @@ from shadow_removal_istd_tpu.serving.engine import (  # noqa: F401
 )
 from shadow_removal_istd_tpu.serving.server import (  # noqa: F401
     MicroBatcher,
+    OverloadedError,
     ServerStats,
     ShadowRemovalServer,
 )

@@ -51,6 +51,12 @@ from shadow_removal_istd_tpu.utils.image_io import (
 logger = logging.getLogger(__name__)
 
 
+class OverloadedError(RuntimeError):
+    """Raised by MicroBatcher.submit when the queue is at capacity —
+    the server answers 503 + Retry-After instead of letting host
+    memory and queue latency grow without bound."""
+
+
 class ServerStats:
     """Thread-safe request/batch counters + latency reservoir."""
 
@@ -61,6 +67,8 @@ class ServerStats:
         self.batches = 0
         self.images = 0
         self.max_batch = 0
+        self.shed = 0      # 503s: queue full at admission
+        self.expired = 0   # dropped: deadline passed while queued
         self._lat_ms = collections.deque(maxlen=window)
 
     def record_batch(self, n: int) -> None:
@@ -68,6 +76,14 @@ class ServerStats:
             self.batches += 1
             self.images += n
             self.max_batch = max(self.max_batch, n)
+
+    def record_shed(self) -> None:
+        with self._lock:
+            self.shed += 1
+
+    def record_expired(self) -> None:
+        with self._lock:
+            self.expired += 1
 
     def record_request(self, latency_ms: float, error: bool) -> None:
         with self._lock:
@@ -82,7 +98,8 @@ class ServerStats:
             lat = np.asarray(self._lat_ms, np.float64)
             out = {"requests": self.requests, "errors": self.errors,
                    "batches": self.batches, "images": self.images,
-                   "max_batch": self.max_batch}
+                   "max_batch": self.max_batch,
+                   "shed": self.shed, "expired": self.expired}
         if lat.size:
             out["latency_ms"] = {
                 "p50": round(float(np.percentile(lat, 50)), 2),
@@ -114,20 +131,58 @@ class MicroBatcher:
             self.fut: Future = Future()
 
     def __init__(self, engine: InferenceEngine, *,
-                 window_ms: float = 5.0, stats: ServerStats | None = None):
+                 window_ms: float = 5.0, stats: ServerStats | None = None,
+                 max_queue: int | None = None,
+                 deadline_s: float = 600.0):
         self.engine = engine
         self.window_s = window_ms / 1e3
         self.stats = stats or ServerStats()
+        # admission control: beyond this depth a burst can only add
+        # latency the client will time out on anyway — shed instead.
+        # Default: 8 full batches of headroom.
+        self.max_queue = (int(max_queue) if max_queue is not None
+                          else 8 * engine.max_batch)
+        self.deadline_s = deadline_s
         self._q: queue.SimpleQueue = queue.SimpleQueue()
+        self._depth = 0
+        self._depth_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="srit-batcher")
         self._thread.start()
 
+    @property
+    def depth(self) -> int:
+        with self._depth_lock:
+            return self._depth
+
     def submit(self, img_bgr_u8: np.ndarray) -> Future:
-        """Enqueue one HxWx3 uint8 image; resolves to (matte, shadowless)."""
+        """Enqueue one HxWx3 uint8 image; resolves to (matte, shadowless).
+
+        Raises :class:`OverloadedError` when the queue is at capacity
+        (admission control — the 503 path)."""
+        with self._depth_lock:
+            if self._depth >= self.max_queue:
+                self.stats.record_shed()
+                raise OverloadedError(
+                    f"queue at capacity ({self.max_queue})")
+            self._depth += 1
         fut: Future = Future()
-        self._q.put((img_bgr_u8, fut))
+        self._q.put((img_bgr_u8, fut,
+                     time.monotonic() + self.deadline_s))
         return fut
+
+    def _take_data(self, item) -> tuple | None:
+        """Account a dequeued data item; drop it (resolving its future
+        with TimeoutError) when its deadline passed while queued — the
+        client is gone, device time on it would be pure waste."""
+        with self._depth_lock:
+            self._depth -= 1
+        img, fut, deadline = item
+        if time.monotonic() >= deadline:
+            self.stats.record_expired()
+            fut.set_exception(TimeoutError("expired while queued"))
+            return None
+        return (img, fut)
 
     def run_on_batcher(self, fn) -> Future:
         """Execute ``fn()`` on the batcher thread between batches and
@@ -156,7 +211,9 @@ class MicroBatcher:
             if item is self._CLOSE or isinstance(item, self._Control):
                 self._q.put(item)  # re-post for the outer loop
                 break
-            batch.append(item)
+            entry = self._take_data(item)
+            if entry is not None:
+                batch.append(entry)
         return batch
 
     def _run_control(self, ctl) -> None:
@@ -174,7 +231,10 @@ class MicroBatcher:
             if isinstance(item, self._Control):
                 self._run_control(item)
                 continue
-            batch = self._drain(item)
+            entry = self._take_data(item)
+            if entry is None:
+                continue
+            batch = self._drain(entry)
             groups: dict[tuple[int, int], list] = {}
             for img, fut in batch:
                 key = self.engine.bucket_of(img.shape[0], img.shape[1])
@@ -230,7 +290,10 @@ def _make_handler(batcher: MicroBatcher, stats: ServerStats,
                     "dtype": batcher.engine.dtype,
                 }).encode())
             elif path == "/stats":
-                self._reply(200, json.dumps(stats.snapshot()).encode())
+                snap = stats.snapshot()
+                snap["queue_depth"] = batcher.depth
+                snap["max_queue"] = batcher.max_queue
+                self._reply(200, json.dumps(snap).encode())
             else:
                 self._err(404, f"no such endpoint: {path}")
 
@@ -301,6 +364,13 @@ def _make_handler(batcher: MicroBatcher, stats: ServerStats,
                     "X-Output": output,
                 })
                 ok = True
+            except OverloadedError as exc:
+                # load shed: tell clients when to come back — one full
+                # queue's worth of work, conservatively 1s minimum
+                self.close_connection = True
+                self._reply(503, json.dumps({"error": str(exc)}).encode(),
+                            headers={"Retry-After": "1",
+                                     "Connection": "close"})
             except ValueError as exc:
                 self._err(400, str(exc))
             except TimeoutError:
@@ -321,14 +391,25 @@ class ShadowRemovalServer:
     def __init__(self, engine: InferenceEngine, *, host: str = "127.0.0.1",
                  port: int = 8650, window_ms: float = 5.0,
                  max_body_mb: float = 32.0,
-                 request_timeout_s: float = 600.0):
+                 request_timeout_s: float = 600.0,
+                 max_queue: int | None = None):
         self.stats = ServerStats()
         self.batcher = MicroBatcher(engine, window_ms=window_ms,
-                                    stats=self.stats)
+                                    stats=self.stats,
+                                    max_queue=max_queue,
+                                    deadline_s=request_timeout_s)
         handler = _make_handler(self.batcher, self.stats,
                                 int(max_body_mb * 1024 * 1024),
                                 request_timeout_s)
-        self.httpd = ThreadingHTTPServer((host, port), handler)
+
+        class _Server(ThreadingHTTPServer):
+            # bursts larger than the stdlib's 5-deep listen backlog get
+            # kernel TCP resets before the handler can answer 503
+            # (observed live: 24 concurrent clients -> 3 ECONNRESET);
+            # a deeper backlog turns those into orderly shed responses
+            request_queue_size = 128
+
+        self.httpd = _Server((host, port), handler)
         self.httpd.daemon_threads = True
 
     @property
@@ -387,6 +468,14 @@ def main(argv=None) -> int:
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--batch-window-ms", type=float, default=5.0)
     ap.add_argument("--max-body-mb", type=float, default=32.0)
+    ap.add_argument("--max-queue", type=int, default=None,
+                    help="admission-control queue bound; beyond it "
+                         "requests get 503 + Retry-After (default "
+                         "8*max-batch)")
+    ap.add_argument("--request-timeout-s", type=float, default=600.0,
+                    help="per-request deadline: clients waiting longer "
+                         "get 504, and requests whose deadline passed "
+                         "while queued are dropped before dispatch")
     ap.add_argument("--warmup", default="480x640",
                     help="comma-separated HxW list to pre-compile "
                          "('' to skip)")
@@ -422,7 +511,9 @@ def main(argv=None) -> int:
 
     server = ShadowRemovalServer(engine, host=args.host, port=args.port,
                                  window_ms=args.batch_window_ms,
-                                 max_body_mb=args.max_body_mb)
+                                 max_body_mb=args.max_body_mb,
+                                 max_queue=args.max_queue,
+                                 request_timeout_s=args.request_timeout_s)
     stop = threading.Event()
 
     def _on_signal(signum, frame):

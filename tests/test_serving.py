@@ -512,3 +512,112 @@ class TestHTTP:
             assert status == 413
         finally:
             srv.shutdown()
+
+
+class _SlowEngine:
+    """Deterministic-latency fake engine: saturation tests need a
+    service rate the test controls, not whatever the CI host's XLA
+    does. Interface = the _EngineCore surface MicroBatcher touches."""
+
+    dtype = "float32"
+
+    def __init__(self, delay_s=0.15, max_batch=2):
+        self.delay_s = delay_s
+        self.max_batch = max_batch
+        self.calls = 0
+        self.images_seen = 0
+
+    def bucket_of(self, h, w):
+        return (64, 64)
+
+    def infer_group(self, imgs):
+        self.calls += 1
+        self.images_seen += len(imgs)
+        time.sleep(self.delay_s)
+        return [(np.zeros(im.shape[:2], np.uint8),
+                 np.zeros(im.shape[:2] + (3,), np.uint8))
+                for im in imgs]
+
+
+class TestLoadShedding:
+    """Admission control under overload: bounded queue, 503s, and
+    queued-past-deadline drops (the reference serves nothing; the bar
+    here is production behavior, not parity)."""
+
+    def test_submit_sheds_beyond_max_queue(self):
+        from shadow_removal_istd_tpu.serving import OverloadedError
+        eng = _SlowEngine(delay_s=0.2, max_batch=1)
+        stats = ServerStats()
+        b = MicroBatcher(eng, window_ms=0.0, stats=stats, max_queue=3)
+        try:
+            admitted, shed = [], 0
+            for s in range(30):
+                try:
+                    admitted.append(b.submit(_img(8, 8, seed=s)))
+                except OverloadedError:
+                    shed += 1
+                assert b.depth <= 3  # the invariant under test
+            assert shed > 0
+            assert stats.snapshot()["shed"] == shed
+            for f in admitted:
+                f.result(timeout=60)  # every admitted request completes
+        finally:
+            b.close()
+
+    def test_expired_in_queue_dropped_before_dispatch(self):
+        eng = _SlowEngine(delay_s=0.3, max_batch=1)
+        stats = ServerStats()
+        b = MicroBatcher(eng, window_ms=0.0, stats=stats,
+                         max_queue=64, deadline_s=0.1)
+        try:
+            futs = [b.submit(_img(8, 8, seed=s)) for s in range(5)]
+            results = []
+            for f in futs:
+                try:
+                    results.append(f.result(timeout=60))
+                except TimeoutError:
+                    results.append(None)
+            expired = sum(r is None for r in results)
+            assert expired >= 2  # 0.3s service vs 0.1s deadline
+            assert stats.snapshot()["expired"] == expired
+            # dropped requests never reached the device
+            assert eng.images_seen == 5 - expired
+        finally:
+            b.close()
+
+    def test_http_503_with_retry_after_under_burst(self):
+        eng = _SlowEngine(delay_s=0.15, max_batch=2)
+        srv = ShadowRemovalServer(eng, port=0, window_ms=1.0,
+                                  max_queue=3)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            png = imencode_png(_img(32, 32))
+            depths = []
+
+            def one(_):
+                st, hdr, _body = _post(srv, png)
+                return st, hdr
+
+            with ThreadPoolExecutor(max_workers=32) as ex:
+                futs = [ex.submit(one, i) for i in range(32)]
+                # sample queue depth while the burst is in flight
+                for _ in range(10):
+                    st, body = _get(srv, "/stats")
+                    depths.append(json.loads(body)["queue_depth"])
+                    time.sleep(0.05)
+                outcomes = [f.result() for f in futs]
+            statuses = [st for st, _ in outcomes]
+            assert set(statuses) <= {200, 503}
+            assert statuses.count(200) >= 1
+            assert statuses.count(503) >= 1
+            for st, hdr in outcomes:
+                if st == 503:
+                    assert hdr.get("Retry-After") == "1"
+            assert max(depths) <= 3  # bounded under saturation
+            st, body = _get(srv, "/stats")
+            snap = json.loads(body)
+            assert snap["shed"] == statuses.count(503)
+            assert snap["max_queue"] == 3
+        finally:
+            srv.shutdown()
