@@ -40,6 +40,8 @@ PRESERVED_ARGS = [
     "load_weights_d1",
     "load_weights_d2",
     "weights", "logs",
+    # per-invocation infrastructure, never part of a run's identity
+    "coordinator", "num_processes", "process_id",
 ]
 
 
@@ -160,6 +162,29 @@ def build_parser() -> argparse.ArgumentParser:
                              "optimizer memory past one chip's HBM; "
                              "combines with data parallelism, exclusive "
                              "with --spatial-shard")
+    parser.add_argument("--checkpoint-backend", default="msgpack",
+                        choices=["msgpack", "orbax"],
+                        help="full-state checkpoint format: msgpack = "
+                             "one file, synchronous write; orbax = "
+                             "directory of step_N checkpoints with "
+                             "ASYNC commit (the epoch loop keeps "
+                             "training while orbax serializes) — use "
+                             "for large states; --load-checkpoint "
+                             "accepts either (file vs directory)")
+    parser.add_argument("--coordinator", default=None,
+                        help="multi-host training: coordinator "
+                             "address host:port (process 0's); starts "
+                             "jax.distributed so --devices sees the "
+                             "GLOBAL device set across all processes — "
+                             "the pod-slice analogue of the reference's "
+                             "--devices multi-GPU flag "
+                             "(src/cgan.py:78-84)")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="multi-host training: total process count "
+                             "(one per host)")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="multi-host training: this process's rank "
+                             "(0..num-processes-1)")
     parser.add_argument("--serve-host", default="127.0.0.1",
                         help="--tasks serve: bind address")
     parser.add_argument("--serve-port", default=8650, type=int,
@@ -363,16 +388,59 @@ def _select_mesh(devices: list[str], batch_size: int,
     return None
 
 
+def _maybe_distributed_init(args) -> None:
+    """Start jax.distributed for pod-slice runs — BEFORE the first
+    backend touch, so every later ``jax.devices()`` call (mesh
+    selection, the Trainer) sees the global device set.
+
+    All three flags (--coordinator/--num-processes/--process-id) are
+    required together; none given = single-process (users on managed
+    pod-slice launchers that export the JAX cluster env can also rely
+    on jax's own autodetection by initializing out-of-band).
+    """
+    from shadow_removal_istd_tpu.parallel.mesh import distributed_init
+
+    if args.num_processes is not None:
+        if args.coordinator is None or args.process_id is None:
+            raise SystemExit(
+                "--num-processes needs --coordinator host:port and "
+                "--process-id")
+        distributed_init(args.coordinator, args.num_processes,
+                         args.process_id)
+        # Establish the collective transport NOW, while every process
+        # is still in lockstep: the first collective otherwise happens
+        # after each rank's (minutes-long, skew-prone) first jit
+        # compile, and transport-level connect timeouts (observed with
+        # Gloo on CPU) kill the run before the real work starts. Also
+        # fails fast, at a clear point, on a misconfigured cluster.
+        import jax
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("srit-startup")
+        logger.info("multi-host up: process %d/%d, %d global devices",
+                    args.process_id, args.num_processes,
+                    len(jax.devices()))
+    elif args.coordinator is not None:
+        raise SystemExit("--coordinator needs --num-processes and "
+                         "--process-id")
+
+
 def main(args) -> None:
     _sync_platform_env()
+    _maybe_distributed_init(args)
     time_str = time.strftime("%Y%m%d-%H%M%S")
     _enable_compilation_cache()
     prepare_run_dirs(args)
     if args.manual_seed != -1:
         set_manual_seed(args.manual_seed)
-    set_logger(os.path.join(args.logs, f"main-{time_str}.log"))
+    import jax
+    rank = f"-p{jax.process_index()}" if jax.process_count() > 1 else ""
+    set_logger(os.path.join(args.logs, f"main-{time_str}{rank}.log"))
     logger.info("Arguments: %s", args)
 
+    if jax.process_count() > 1 and "serve" in args.tasks:
+        raise SystemExit("--tasks serve is single-process; serve from "
+                         "the saved weights on one host (data-parallel "
+                         "serving uses --devices N within a host)")
     if (("infer" in args.tasks or "serve" in args.tasks)
             and "train" not in args.tasks):
         assert args.load_weights_g1 is not None or args.load_checkpoint, \
@@ -407,7 +475,11 @@ def main(args) -> None:
         data_dirs=tuple(args.data_dir), data_h5=args.data_h5,
         logs_dir=args.logs, weights_dir=args.weights,
         infered_dir=args.infered,
-        checkpoint_path=os.path.join(args.weights, "checkpoint.msgpack"),
+        checkpoint_path=os.path.join(
+            args.weights,
+            "checkpoint.msgpack" if args.checkpoint_backend == "msgpack"
+            else "checkpoint_orbax"),
+        checkpoint_backend=args.checkpoint_backend,
         log_every=args.log_every, valid_every=args.valid_every,
         vis_every=args.vis_every, save_every=args.save_every,
         seed=args.manual_seed if args.manual_seed != -1 else 0,
@@ -432,8 +504,9 @@ def main(args) -> None:
     trainer.load_weights(g1=args.load_weights_g1, g2=args.load_weights_g2,
                          d1=args.load_weights_d1, d2=args.load_weights_d2)
     if args.load_checkpoint is not None:
-        if not os.path.isfile(args.load_checkpoint):
-            print(f"{args.load_checkpoint} is not a file")
+        # a file (msgpack) or a directory (orbax backend / step_N dir)
+        if not os.path.exists(args.load_checkpoint):
+            print(f"{args.load_checkpoint} does not exist")
         else:
             trainer.load(args.load_checkpoint)
 

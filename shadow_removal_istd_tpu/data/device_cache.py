@@ -22,8 +22,13 @@ class DeviceDatasetCache:
 
     def __init__(self, streams: dict[str, np.ndarray], sharding=None):
         self.names = tuple(sorted(streams))
-        put = (lambda a: jax.device_put(a, sharding)) if sharding \
-            else jax.device_put
+        if sharding is not None:
+            # put_global handles multi-host meshes: every process holds
+            # the same full dataset and contributes its local shards
+            from shadow_removal_istd_tpu.parallel.mesh import put_global
+            put = lambda a: put_global(sharding, a)  # noqa: E731
+        else:
+            put = jax.device_put
         # Dataset arrays are replicated (or default-placed); batches are
         # gathered on device.
         self._arrays = tuple(put(streams[k]) for k in self.names)

@@ -50,7 +50,11 @@ from shadow_removal_istd_tpu.ops.augment import (
     float_to_uint8,
     normalize_batch,
 )
-from shadow_removal_istd_tpu.parallel.mesh import shard_state
+from shadow_removal_istd_tpu.parallel.mesh import (
+    is_primary,
+    put_global,
+    shard_state,
+)
 from shadow_removal_istd_tpu.utils.image_io import imwrite
 
 logger = logging.getLogger(__name__)
@@ -70,6 +74,11 @@ class RunConfig:
     weights_dir: str = "./weights"
     infered_dir: str = "./infered"
     checkpoint_path: str = "./checkpoint.msgpack"
+    # "msgpack" (single file, synchronous) or "orbax" (directory of
+    # step_N checkpoints, ASYNC commit — the epoch loop continues while
+    # orbax serializes in the background; for orbax, checkpoint_path
+    # names the backend directory)
+    checkpoint_backend: str = "msgpack"
     log_every: int = 3
     valid_every: int = 10
     vis_every: int = 50
@@ -111,6 +120,11 @@ class Trainer:
         self.cfg = cfg
         self.run = run
         self.mesh = mesh
+        # multi-host: host-side side effects (TensorBoard, checkpoint
+        # files, weight files) belong to process 0; every process runs
+        # the same device program (collectives are SPMD) and loads the
+        # same data, so the computation is identical everywhere
+        self._primary = is_primary()
         self.rng = jax.random.PRNGKey(run.seed)
         # Training randomness (shuffle order, augment draws, dropout) is
         # a PURE function of (seed, epoch, step) via fold_in from this
@@ -145,9 +159,21 @@ class Trainer:
                 seed=run.seed)
             steps_per_epoch = max(len(self.train_pipe), 1)
         if valid_streams:
+            # Multi-host runs must not hit _place's single-device
+            # fallback (a process-local array cannot mix with the
+            # globally-sharded state inside one jit), so the ragged
+            # final validation batch is dropped there. Single-process
+            # keeps every sample, like the reference.
+            drop_ragged = jax.process_count() > 1
+            n_valid = next(iter(valid_streams.values())).shape[0]
+            if drop_ragged and n_valid % cfg.batch_size:
+                logger.warning(
+                    "multi-host validation drops the ragged final "
+                    "batch (%d of %d samples)",
+                    n_valid % cfg.batch_size, n_valid)
             self.valid_pipe = BatchPipeline(
                 valid_streams, cfg.batch_size, shuffle=False,
-                drop_last=False, seed=run.seed)
+                drop_last=drop_ragged, seed=run.seed)
 
         # cfg is frozen; rebuild with the actual steps/epoch so the lr
         # schedule decays once per epoch like the reference's scheduler.
@@ -277,6 +303,7 @@ class Trainer:
         self.start_epoch = 0
         self.best_loss = float("inf")
         self.preempted = False
+        self._orbax = None  # lazy long-lived async checkpointer
         self._writers: dict = {}
         self._lab_parts_fn = None
         # binary shadow-mask stream for the in-training eval protocol
@@ -355,10 +382,21 @@ class Trainer:
 
     def _writer(self, which: str):
         if which not in self._writers:
-            from tensorboardX import SummaryWriter
-            self._writers[which] = SummaryWriter(
-                os.path.join(self.run.logs_dir, which))
+            if not self._primary:
+                self._writers[which] = _NullWriter()
+            else:
+                from tensorboardX import SummaryWriter
+                self._writers[which] = SummaryWriter(
+                    os.path.join(self.run.logs_dir, which))
         return self._writers[which]
+
+    def _save_weights(self, suffix: str) -> None:
+        """Per-net weight files — process 0 only under multi-host (the
+        state is replicated; N processes writing the same bytes to the
+        same path is at best redundant, at worst a torn file)."""
+        if self._primary:
+            ckpt.save_model_weights(self.state, self.models,
+                                    self.run.weights_dir, suffix)
 
     def _place(self, batch, train: bool = False):
         if self.mesh is not None:
@@ -394,8 +432,10 @@ class Trainer:
                             if train or not spatial_ok
                             else image_sharding(self.mesh))
                 return jax.tree.map(
-                    lambda a: jax.device_put(a, sharding), batch)
+                    lambda a: put_global(sharding, a), batch)
             # ragged final validation batch: single-device fallback
+            # (multi-host never reaches this — the valid pipe drops the
+            # ragged batch, see __init__)
         return jax.tree.map(jnp.asarray, batch)
 
     # ----------------------------------------------------------- train
@@ -431,9 +471,7 @@ class Trainer:
                     total = self.run_valid_epoch(epoch)
                     if total < self.best_loss:
                         self.best_loss = total
-                        ckpt.save_model_weights(self.state, self.models,
-                                                self.run.weights_dir,
-                                                "best")
+                        self._save_weights("best")
                         logger.info(
                             "improvement after epoch %d, error=%.4f",
                             epoch, total)
@@ -441,9 +479,7 @@ class Trainer:
                     # epoch + 1: this epoch is complete — resume must
                     # continue with the NEXT one, not replay it
                     self.save(epoch + 1)
-                    ckpt.save_model_weights(self.state, self.models,
-                                            self.run.weights_dir,
-                                            "latest")
+                    self._save_weights("latest")
                     logger.warning(
                         "preemption checkpoint written after epoch %d "
                         "(%s); resume with --load-checkpoint",
@@ -454,6 +490,7 @@ class Trainer:
                     # epoch + 1, same as the preemption save: the epoch
                     # is complete, resume continues with the next one
                     self.save(epoch + 1)
+        self._drain_async_saves()
         logger.info("training time %.1fs; best validation loss %.3f",
                     time.time() - t_start, self.best_loss)
         return self.preempted
@@ -496,8 +533,7 @@ class Trainer:
                 self.plateau_d.step(sums["D"])
             if log_scalars:
                 self._log_scalars("train", epoch, sums, outs, n)
-                ckpt.save_model_weights(self.state, self.models,
-                                        self.run.weights_dir, "latest")
+                self._save_weights("latest")
         if visualize and vis_batch is not None:
             self._log_images("train", epoch, vis_batch)
 
@@ -507,6 +543,16 @@ class Trainer:
         ekey = jax.random.fold_in(self._epoch_base, epoch)
         k_idx, k_epoch = jax.random.split(ekey)
         idx = self._cache.epoch_indices(k_idx, self.cfg.batch_size)
+        if jax.process_count() > 1:
+            # the permutation is computed from the shared seed on every
+            # process (identical values), but lands as a process-LOCAL
+            # array; re-place it replicated over the global mesh so it
+            # can enter the jitted epoch next to the global state
+            from shadow_removal_istd_tpu.parallel.mesh import (
+                replicated_sharding,
+            )
+            idx = put_global(replicated_sharding(self.mesh),
+                             jax.device_get(idx))
         n = idx.shape[0]
         scale_g = self.plateau_g.scale if self.plateau_g else 1.0
         scale_d = self.plateau_d.scale if self.plateau_d else 1.0
@@ -523,8 +569,7 @@ class Trainer:
                 self.plateau_d.step(sums["D"])
             if log_scalars:
                 self._log_scalars("train", epoch, sums, outs, n)
-                ckpt.save_model_weights(self.state, self.models,
-                                        self.run.weights_dir, "latest")
+                self._save_weights("latest")
         if visualize:
             raw = self._cache.gather(idx[0])
             # visualization-only draw; step index 1<<20 cannot collide
@@ -683,10 +728,15 @@ class Trainer:
                                          self.state.batch_stats, x)
         w = self._writer(which)
         # grids: inputs / mattes / outputs; BGR->RGB swap for display
-        # (reference src/cgan.py:373-396)
-        for tag, img in (("input", x[..., ::-1]), ("matte", m_pred),
-                         ("output", y_pred[..., ::-1])):
-            img = np.asarray(jax.device_get(img[:n_images]))
+        # (reference src/cgan.py:373-396). Under multi-host the batch
+        # is globally sharded; each process tiles its locally
+        # addressable rows (no collective — TB writes are process-0
+        # only anyway).
+        for tag, img, bgr in (("input", x, True), ("matte", m_pred, False),
+                              ("output", y_pred, True)):
+            img = _host_local_rows(img, n_images)
+            if bgr:
+                img = img[..., ::-1]
             img = np.clip(img * 0.5 + 0.5, 0, 1)
             grid = _make_grid(img, nrow=4)
             w.add_image(tag, grid, epoch, dataformats="HWC")
@@ -710,6 +760,14 @@ class Trainer:
         from shadow_removal_istd_tpu.parallel.pipeline import overlap
 
         assert self.valid_pipe is not None, "no validation data"
+        if jax.process_count() > 1:
+            # PNG output needs full batches on one host; a pod-slice
+            # run should train multi-host, then infer single-process
+            # from the saved weights (they are tiny next to the data)
+            raise NotImplementedError(
+                "--tasks infer is single-process; rerun inference on "
+                "one host with --load-weights-g1/-g2 or "
+                "--load-checkpoint")
         run_infer = lambda x: self.infer_step(  # noqa: E731
             self.state.g_params, self.state.batch_stats, x)
         if self.run.pipeline_infer:
@@ -805,16 +863,40 @@ class Trainer:
 
     # ------------------------------------------------------ checkpoint
     def save(self, epoch: int):
+        if not self._primary:
+            return
         host = {"best_loss": self.best_loss}
         if self.plateau_g is not None:
             host["plateau_g"] = self.plateau_g.state_dict()
             host["plateau_d"] = self.plateau_d.state_dict()
+        if self.run.checkpoint_backend == "orbax":
+            if self._orbax is None:
+                self._orbax = ckpt.make_orbax_checkpointer()
+            # async commit: returns once the state is snapshotted; IO
+            # overlaps the next epochs. In-flight commits are drained
+            # at the end of train() (and before any restore).
+            ckpt.save_checkpoint_orbax(self.state,
+                                       self.run.checkpoint_path, epoch,
+                                       host=host,
+                                       checkpointer=self._orbax)
+            return
         ckpt.save_checkpoint(self.state, self.run.checkpoint_path, epoch,
                              host=host)
 
+    def _drain_async_saves(self) -> None:
+        if self._orbax is not None:
+            self._orbax.wait_until_finished()
+
     def load(self, path: str | None = None):
-        self.state, epoch, host = ckpt.load_checkpoint(
-            self.state, path or self.run.checkpoint_path)
+        self._drain_async_saves()
+        path = path or self.run.checkpoint_path
+        if os.path.isdir(path):
+            # orbax backend directory (or one step_N dir inside it)
+            self.state, epoch, host = ckpt.load_checkpoint_orbax(
+                self.state, path)
+        else:
+            self.state, epoch, host = ckpt.load_checkpoint(
+                self.state, path)
         if self.mesh is not None:
             self.state = shard_state(self.mesh, self.state)
         self.start_epoch = epoch
@@ -831,6 +913,44 @@ class Trainer:
             if path:
                 self.state = ckpt.load_model_weights(self.state, net, path)
                 logger.info("loaded %s weights: %s", net, path)
+
+
+class _NullWriter:
+    """TensorBoard writer stand-in for non-primary processes in a
+    multi-host run: the computation is identical on every process, so
+    only process 0 writes event files (N processes appending to the
+    same logdir produce garbled runs)."""
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def add_image(self, *a, **k):
+        pass
+
+    def flush(self):
+        pass
+
+
+def _host_local_rows(arr, n: int) -> np.ndarray:
+    """First ``n`` locally-available batch rows of a (possibly
+    globally-sharded) array, as numpy — collective-free.
+
+    Fully-addressable arrays (the single-process case) behave exactly
+    like ``device_get(arr[:n])``. For a multi-host-sharded array the
+    rows come from this process's addressable shards (deduplicated:
+    replicated specs put the same global rows on several local
+    devices)."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(arr[:n]))
+    seen, parts = set(), []
+    for s in sorted(arr.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0)):
+        key = tuple((sl.start, sl.stop) for sl in s.index)
+        if key in seen:
+            continue
+        seen.add(key)
+        parts.append(np.asarray(s.data))
+    return np.concatenate(parts)[:n]
 
 
 def _make_grid(images: np.ndarray, nrow: int = 4) -> np.ndarray:

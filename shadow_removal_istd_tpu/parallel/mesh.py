@@ -26,6 +26,31 @@ def distributed_init(coordinator: str | None = None,
                                    process_id=process_id)
 
 
+def is_primary() -> bool:
+    """True on the process that owns host-side side effects (writers,
+    checkpoints, PNG output) in a multi-host run; always True
+    single-process."""
+    return jax.process_index() == 0
+
+
+def put_global(sharding, arr):
+    """Place one host array onto a sharding that may span processes.
+
+    Single-process this is ``jax.device_put``. Multi-process, every
+    process passes the SAME full (global) host array — the pattern this
+    framework uses everywhere, since each process loads the full ISTD
+    dataset and computes the same shuffle from the shared seed — and
+    the callback materializes only the shards addressable from this
+    process. Works for batch-sharded, replicated, and channel-sharded
+    specs alike (the callback receives each shard's global index).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx])
+
+
 def make_mesh(devices: Sequence[Any] | int | None = None,
               axis: str = DATA_AXIS) -> Mesh:
     """1-D data-parallel mesh over the given (or all) devices.
@@ -53,7 +78,7 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch, axis: str = DATA_AXIS):
     """Place a pytree of host arrays onto the mesh, batch-sharded."""
     sharding = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+    return jax.tree.map(lambda a: put_global(sharding, a), batch)
 
 
 def shard_state(mesh: Mesh, state):
@@ -66,11 +91,11 @@ def shard_state(mesh: Mesh, state):
     """
     if MODEL_AXIS in mesh.axis_names:
         placed = jax.tree.map(
-            lambda a: jax.device_put(a, model_sharding(mesh, a)), state)
+            lambda a: put_global(model_sharding(mesh, a), a), state)
         _warn_if_tp_ineffective(mesh, placed)
         return placed
     sharding = replicated_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+    return jax.tree.map(lambda a: put_global(sharding, a), state)
 
 
 def _warn_if_tp_ineffective(mesh: Mesh, placed) -> None:
@@ -163,7 +188,7 @@ def shard_images(mesh: Mesh, batch):
     """Place a pytree of NHWC host arrays onto the mesh, batch- and
     (if the mesh has a spatial axis) row-sharded."""
     sharding = image_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+    return jax.tree.map(lambda a: put_global(sharding, a), batch)
 
 
 # --------------------------------------------------------------------------
