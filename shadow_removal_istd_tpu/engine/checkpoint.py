@@ -107,21 +107,109 @@ def load_checkpoint(state: TrainState,
     return restored, int(raw.get("epoch", 0)), dict(raw.get("host") or {})
 
 
-def save_checkpoint_orbax(state: TrainState, directory: str,
-                          step: int) -> None:
-    """Orbax checkpoint (sharded/async-capable path for large runs)."""
+def make_orbax_checkpointer():
+    """One StandardCheckpointer to own for a training run's lifetime.
+
+    Orbax's StandardCheckpointer commits asynchronously: ``save``
+    returns once the host has snapshotted the arrays and the epoch
+    loop continues while serialization/IO runs in the background —
+    the property that makes this the backend of choice for large
+    states (the msgpack path blocks the loop for the full write).
+    """
     import orbax.checkpoint as ocp
 
-    path = os.path.join(os.path.abspath(directory), f"step_{step}")
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state))
-    ckptr.wait_until_finished()
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint_orbax(state: TrainState, directory: str, step: int,
+                          host: dict | None = None, checkpointer=None,
+                          wait: bool = False) -> None:
+    """Orbax checkpoint (sharded/async path for large runs).
+
+    Layout: ``directory/step_N`` (orbax-managed) plus
+    ``directory/meta_step_N.json`` holding the host-side state (epoch
+    + best loss + plateau controllers — the same sidecar content the
+    msgpack backend embeds). The meta file is written NEXT to the step
+    dir, never inside it, so the async commit's atomic rename is
+    untouched; its presence does NOT imply the step dir is complete —
+    readers must go through orbax (which only sees finalized commits).
+
+    ``wait=False`` (default) returns as soon as orbax has snapshotted
+    the state; pass a long-lived ``checkpointer``
+    (:func:`make_orbax_checkpointer`) so in-flight saves can be
+    awaited at the end of the run.
+    """
+    import json
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"step_{step}")
+    ckptr = checkpointer or make_orbax_checkpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    meta = {"epoch": step, "host": host or {}}
+    with open(os.path.join(directory, f"meta_step_{step}.json"), "w") as f:
+        json.dump(meta, f)
+    if wait or checkpointer is None:
+        # a throwaway checkpointer would be garbage-collected with the
+        # commit still in flight — always drain those
+        ckptr.wait_until_finished()
+
+
+def latest_orbax_step(directory: str) -> int:
+    """Largest finalized ``step_N`` in an orbax checkpoint directory."""
+    steps = []
+    for name in os.listdir(directory):
+        if name.startswith("step_") and not name.endswith(".json"):
+            full = os.path.join(directory, name)
+            # orbax stages under tmp names and renames on commit; only
+            # exact step_N dirs are finalized checkpoints
+            try:
+                steps.append(int(name[len("step_"):]))
+            except ValueError:
+                continue
+            if not os.path.isdir(full):
+                steps.pop()
+    if not steps:
+        raise FileNotFoundError(
+            f"no finalized orbax checkpoints under {directory}")
+    return max(steps)
 
 
 def load_checkpoint_orbax(state: TrainState, directory: str,
-                          step: int) -> TrainState:
-    import orbax.checkpoint as ocp
+                          step: int | None = None
+                          ) -> tuple[TrainState, int, dict]:
+    """Restore (state, epoch, host) from an orbax checkpoint dir.
 
-    path = os.path.join(os.path.abspath(directory), f"step_{step}")
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target=jax.device_get(state))
+    ``directory`` may be the backend root (latest step is picked, or
+    ``step`` selects one) or a single ``step_N`` dir directly.
+    """
+    import json
+
+    directory = os.path.abspath(directory)
+    base = os.path.basename(directory)
+    if base.startswith("step_"):
+        step = int(base[len("step_"):])
+        directory = os.path.dirname(directory)
+    elif step is None:
+        step = latest_orbax_step(directory)
+    path = os.path.join(directory, f"step_{step}")
+    ckptr = make_orbax_checkpointer()
+    # the restore target only provides the tree structure and
+    # shapes/dtypes — build it from array METADATA, never from device
+    # values: device_get of a freshly-initialized (still lazily
+    # materializing) state deadlocks on tunneled TPU hosts, and the
+    # bytes would be thrown away anyway
+    import numpy as np
+    target = jax.tree.map(
+        lambda a: np.zeros(getattr(a, "shape", ()),
+                           getattr(a, "dtype", np.float32)), state)
+    restored = ckptr.restore(path, target=target)
+    meta_path = os.path.join(directory, f"meta_step_{step}.json")
+    host: dict = {}
+    epoch = step
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        epoch = int(meta.get("epoch", step))
+        host = dict(meta.get("host") or {})
+    return restored, epoch, host

@@ -176,12 +176,23 @@ class TestCheckpoint:
         from shadow_removal_istd_tpu.engine import checkpoint as ckpt
         cfg = tiny_cfg()
         models, state = setup(cfg)
-        ckpt.save_checkpoint_orbax(state, str(tmp_path), step=5)
+        ckpt.save_checkpoint_orbax(state, str(tmp_path), step=5,
+                                   host={"best_loss": 1.25})
         fresh = init_state(jax.random.key(9), cfg, models)
-        restored = ckpt.load_checkpoint_orbax(fresh, str(tmp_path), step=5)
+        restored, epoch, host = ckpt.load_checkpoint_orbax(
+            fresh, str(tmp_path), step=5)
+        assert epoch == 5 and host["best_loss"] == 1.25
         for a, b in zip(jax.tree.leaves(state.g_params),
                         jax.tree.leaves(restored.g_params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # latest-step resolution + step_N-dir addressing
+        ckpt.save_checkpoint_orbax(state, str(tmp_path), step=9)
+        assert ckpt.latest_orbax_step(str(tmp_path)) == 9
+        _, epoch, _ = ckpt.load_checkpoint_orbax(fresh, str(tmp_path))
+        assert epoch == 9
+        _, epoch, _ = ckpt.load_checkpoint_orbax(
+            fresh, str(tmp_path / "step_5"))
+        assert epoch == 5
 
     def test_per_net_weights_roundtrip(self, tmp_path):
         from shadow_removal_istd_tpu.engine import checkpoint as ckpt
@@ -235,6 +246,37 @@ class TestResumeDeterminism:
         tr_b.save(2)
         tr_c, _ = self._make(tmp_path, "c")
         tr_c.load(run_b.checkpoint_path)
+        assert tr_c.start_epoch == 2
+        tr_c.train(3)
+        a_leaves = jax.tree.leaves(jax.device_get(
+            (tr_a.state.g_params, tr_a.state.d_params,
+             tr_a.state.batch_stats)))
+        c_leaves = jax.tree.leaves(jax.device_get(
+            (tr_c.state.g_params, tr_c.state.d_params,
+             tr_c.state.batch_stats)))
+        assert len(a_leaves) == len(c_leaves)
+        for a, c in zip(a_leaves, c_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+    def test_resumed_equals_uninterrupted_orbax(self, tmp_path):
+        """The orbax backend (async directory checkpoints) round-trips
+        the full train state exactly like msgpack: a preempt->resume
+        cycle through --checkpoint-backend orbax is bit-identical to
+        the uninterrupted run (VERDICT r4 item 6)."""
+        def make(tag):
+            tr, run = self._make(tmp_path, tag)
+            tr.run.checkpoint_backend = "orbax"
+            tr.run.checkpoint_path = str(tmp_path / f"orbax{tag}")
+            return tr, tr.run
+
+        tr_a, _ = self._make(tmp_path, "a")
+        tr_a.train(3)
+        tr_b, run_b = make("b")
+        tr_b.train(2)
+        tr_b.save(2)          # async commit
+        tr_c, _ = make("c")
+        tr_b._drain_async_saves()
+        tr_c.load(run_b.checkpoint_path)  # directory, latest step
         assert tr_c.start_epoch == 2
         tr_c.train(3)
         a_leaves = jax.tree.leaves(jax.device_get(
@@ -468,6 +510,61 @@ class TestEvalBitAlignment:
             # the only slack: eval_step and infer_step are separate
             # XLA graphs, so a pixel sitting within float noise of a
             # quantization boundary may land one uint8 level apart
+            np.testing.assert_allclose(
+                captured[f"Eval/{k}"], offline[k], rtol=5e-4,
+                err_msg=k)
+
+    @pytest.mark.slow
+    def test_eval_scalars_match_offline_cli_native_resolution(
+            self, tmp_path):
+        """The same alignment at ISTD-native 480x640 — the resolution
+        the protocol actually scores (the fast test above runs 32x64).
+        Train one epoch on 256^2 crops, validate + infer at native
+        resolution with --eval-metrics, and the offline CLI on the
+        written PNGs must reproduce Eval/* (same quantization-boundary
+        slack as above: eval_step and infer_step are separate XLA
+        graphs). VERDICT r4 item 8."""
+        from shadow_removal_istd_tpu.data.synthetic import (
+            write_istd_layout,
+        )
+        from shadow_removal_istd_tpu.engine.loop import RunConfig, Trainer
+        from shadow_removal_istd_tpu.metrics.eval_cli import all_metrics
+        root = str(tmp_path / "ISTD")
+        write_istd_layout(root, n_train=2, n_test=2, h=480, w=640)
+        cfg = tiny_cfg(ngf=8, ndf=8, lambda4=0.0, lambda5=0.0,
+                       batch_size=2, image_size=256)
+        run = RunConfig(data_dirs=(root,), eval_metrics=True,
+                        valid_every=1, save_every=10**6, log_every=10**6,
+                        vis_every=10**6, preempt_save=False,
+                        logs_dir=str(tmp_path / "logs"),
+                        weights_dir=str(tmp_path / "w"),
+                        infered_dir=str(tmp_path / "infered"))
+        tr = Trainer(cfg, run)
+        captured = {}
+
+        class _Cap:
+            def add_scalar(self, k, v, e):
+                captured[k] = float(v)
+
+            def add_image(self, *a, **k):
+                pass
+
+            def flush(self):
+                pass
+
+        tr._writers["valid"] = _Cap()
+        tr._writers["train"] = _Cap()
+        tr.train(1)          # one real epoch of 256^2 crops
+        captured.clear()
+        tr.run_valid_epoch(1)   # native 480x640 validation, Eval/*
+        tr.infer()              # native 480x640 PNGs, trained params
+        offline = all_metrics(
+            os.path.join(root, "test", "test_C_fixed"),
+            os.path.join(run.infered_dir, "shadowless", "ISTD"),
+            maskdir=os.path.join(root, "test", "test_B"))
+        for k in ("rmse", "rmse_non", "rmse_all",
+                  "mae", "mae_non", "mae_all"):
+            assert f"Eval/{k}" in captured
             np.testing.assert_allclose(
                 captured[f"Eval/{k}"], offline[k], rtol=5e-4,
                 err_msg=k)
