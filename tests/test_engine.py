@@ -538,6 +538,7 @@ class TestEvalBitAlignment:
                         vis_every=10**6, preempt_save=False,
                         logs_dir=str(tmp_path / "logs"),
                         weights_dir=str(tmp_path / "w"),
+                        checkpoint_path=str(tmp_path / "ck.msgpack"),
                         infered_dir=str(tmp_path / "infered"))
         tr = Trainer(cfg, run)
         captured = {}
