@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--beta2", default=0.999, type=float)
     parser.add_argument("--NN-upconv", type=str2bool, default=False,
                         const=True, nargs="?")
+    # Parsed for CLI parity but NOT implemented — exactly like the
+    # reference, which parses these and never reads them
+    # (STCGAN/main.py:236-239). Unlike the reference, passing a truthy
+    # value here REFUSES to run (see main) instead of silently
+    # training with BatchNorm anyway: a flag that sounds
+    # behavior-changing must not be a silent no-op.
     parser.add_argument("--no-batch-norm-G", type=str2bool, default=False,
                         const=True, nargs="?")
     parser.add_argument("--no-batch-norm-D", type=str2bool, default=False,
@@ -95,6 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(args) -> None:
+    if args.no_batch_norm_G or args.no_batch_norm_D:
+        raise SystemExit(
+            "--no-batch-norm-G/-D are parsed for CLI parity but not "
+            "implemented (the reference also parses and ignores them, "
+            "STCGAN/main.py:236-239); refusing to train with BatchNorm "
+            "silently enabled — drop the flag")
     from shadow_removal_istd_tpu.cli.main import (
         _enable_compilation_cache,
         _sync_platform_env,

@@ -78,6 +78,24 @@ class TestDCGANInit:
         assert abs(s.mean()) < 0.01  # the reference's N(0,.02) behaviour
 
 
+class TestLegacyFlagGuards:
+    def test_no_batch_norm_flags_refuse_loudly(self):
+        """--no-batch-norm-G/-D are parsed-but-unimplemented in the
+        reference (STCGAN/main.py:236-239 — parsed, never read). A
+        behavior-changing-sounding flag must not be a silent no-op:
+        here passing it refuses to run."""
+        import pytest
+
+        from shadow_removal_istd_tpu.cli.stcgan_main import (
+            build_parser,
+            main,
+        )
+        args = build_parser().parse_args(
+            ["--tasks", "train", "--no-batch-norm-D"])
+        with pytest.raises(SystemExit, match="not.*implemented"):
+            main(args)
+
+
 class TestLegacyTrainer:
     def test_legacy_config_end_to_end(self, tmp_path):
         """plateau schedule + resize stages + mask stream + dcgan init."""
