@@ -107,6 +107,28 @@ class Conv(nn.Module):
                        kernel_init=self.kernel_init, dtype=self.dtype)(x)
 
 
+# --------------------------------------------------------------------------
+# Train-step BN experiment knob (benchmarks/ab_bn_stats.py): batch
+# statistics estimated from every STRIDE-th image row instead of all of
+# them. The r3 trace puts BatchNorm stat/affine passes at ~28% of
+# train-step device time; row subsampling was the one lever that could
+# remove reduce bytes (the reduce's data dependency forbids fusing it
+# with the normalize). MEASURED ON HARDWARE AND REJECTED (r5): stride 2
+# = -10.7%, stride 4 = -6.4% on the fused epoch (332 -> 296.5 / 310.7
+# img/s) — XLA materializes the strided row slice as its own copy pass,
+# ADDING traffic instead of removing it. The knob stays as the measured
+# record (stride=1, the default, is bit-exact reference semantics and
+# compiles to the identical graph); do not re-attempt without first
+# solving the slice materialization.
+# --------------------------------------------------------------------------
+BN_STAT_STRIDE = 1
+
+
+def set_bn_stat_stride(stride: int) -> None:
+    global BN_STAT_STRIDE
+    BN_STAT_STRIDE = int(stride)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm matching torch nn.BatchNorm2d semantics exactly.
 
@@ -154,12 +176,19 @@ class BatchNorm(nn.Module):
         if train:
             assert d2s is None and tile == 1, \
                 "phase-tiled affine is an eval-only fast path"
-            axes = tuple(range(x32.ndim - 1))
-            mean = jnp.mean(x32, axes)
-            mean2 = jnp.mean(jnp.square(x32), axes)
+            xs = x32
+            if (BN_STAT_STRIDE > 1 and x32.ndim == 4
+                    and x32.shape[1] >= 8 * BN_STAT_STRIDE):
+                # subsampled-stats mode (opt-in, see module docstring):
+                # estimate mean/var from every STRIDE-th row — the
+                # reduce pass reads 1/STRIDE of the bytes
+                xs = x32[:, ::BN_STAT_STRIDE]
+            axes = tuple(range(xs.ndim - 1))
+            mean = jnp.mean(xs, axes)
+            mean2 = jnp.mean(jnp.square(xs), axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)  # biased
             if not self.is_initializing():
-                n = x32.size / c
+                n = xs.size / c
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
