@@ -132,12 +132,17 @@ def build_random_vgg19_bn_features(seed: int = 0):
 
 
 def build_stacked(h: int, w: int, *, batch: int, steps: int,
-                  split_skip: bool = False):
+                  split_skip: bool = True):
     """(scanned, v1, v2, xs) for the stacked G1+G2 inference forward.
 
     ``scanned(v1, v2, xs)`` runs ``steps`` micro-batches of ``batch``
     images in one dispatch and returns a scalar; time it with
     ``float(scanned(...))`` per iteration.
+
+    ``split_skip=True`` is the shipping serving default since the r5
+    hardware A/B (three runs: +4.45%/+4.43% flagship, +4.23% full-res
+    — benchmarks/ab_split_skip.py), so bench.py measures the default
+    configuration; the A/B script passes both values explicitly.
     """
     from shadow_removal_istd_tpu.models import get_generator
 

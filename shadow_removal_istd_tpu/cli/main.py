@@ -193,6 +193,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="--tasks serve: micro-batching window")
     parser.add_argument("--serve-max-batch", default=8, type=int,
                         help="--tasks serve: max coalesced batch")
+    parser.add_argument("--serve-max-queue", default=None, type=int,
+                        help="--tasks serve: admission-control queue "
+                             "bound — beyond it requests get 503 + "
+                             "Retry-After (default 8*max-batch)")
+    parser.add_argument("--serve-timeout-s", default=600.0, type=float,
+                        help="--tasks serve: per-request deadline; "
+                             "requests expired while queued are "
+                             "dropped before dispatch")
     parser.add_argument("--pipeline-infer", action="store_true",
                         help="pipeline parallelism for inference: G1 on "
                              "one device group, G2 on the other, matte "
@@ -561,7 +569,9 @@ def _serve(trainer, cfg, args) -> None:
          "batch_stats": state.batch_stats["g2"]})
     server = ShadowRemovalServer(engine, host=args.serve_host,
                                  port=args.serve_port,
-                                 window_ms=args.serve_window_ms)
+                                 window_ms=args.serve_window_ms,
+                                 max_queue=args.serve_max_queue,
+                                 request_timeout_s=args.serve_timeout_s)
 
     def _on_signal(signum, frame):
         logger.info("signal %d: stopping server", signum)

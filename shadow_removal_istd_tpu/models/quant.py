@@ -171,15 +171,27 @@ def _leaky(x):
     return jax.nn.leaky_relu(x, negative_slope=0.2)
 
 
+ENCODER_SITES = frozenset(
+    ["stem"] + [f"down{i}" for i in range(8)])
+
+
 def mnet_apply_folded(folded: dict, x, depth: int = 4,
                       activation: str = "tanh", observe: bool = False,
                       qparams: dict | None = None,
+                      quant_sites: frozenset | None = None,
                       compute_dtype=jnp.float32):
     """Eval-mode MNet forward from folded (or quantized) params.
 
     - folded params, ``observe=False``  -> y          (f32 reference)
     - folded params, ``observe=True``   -> (y, amax)  (calibration)
     - ``qparams`` set                   -> y          (int8 convs)
+    - ``qparams`` + ``quant_sites``     -> SELECTIVE int8: only the
+      named sites run s8 convs; the rest run the folded weights in
+      ``compute_dtype`` (pass ``folded`` too). The interesting split is
+      :data:`ENCODER_SITES` — the wide stride-2 encoder convs are where
+      the s8 MXU rate can win, while the bandwidth-bound subpixel
+      decoder stays bf16 (the whole-net int8 A/B lost to bf16 on
+      dequant traffic; see README "int8 PTQ, measured").
 
     Mirrors models/mnet.py's eval graph: stem conv; depth x
     (leaky -> 4x4s2 conv+bias); depth x (leaky -> subpixel up
@@ -188,6 +200,10 @@ def mnet_apply_folded(folded: dict, x, depth: int = 4,
     /root/reference/src/models/mnet.py:37-110.
     """
     amax: dict[str, jnp.ndarray] = {}
+    if quant_sites is not None and qparams is not None:
+        assert folded is not None, \
+            "selective int8 needs the folded f32 params for the " \
+            "unquantized sites"
 
     def obs(name, t):
         if observe:
@@ -196,13 +212,31 @@ def mnet_apply_folded(folded: dict, x, depth: int = 4,
     def q(name):
         if qparams is None:
             return None
+        if quant_sites is not None and name not in quant_sites:
+            return None
         return qparams[name + "_sx"], qparams[name + "_s"]
 
-    src = qparams if qparams is not None else folded
+    def w_enc(name):
+        """Encoder-kernel source for one site (untransformed layout)."""
+        if q(name) is not None:
+            return qparams[name + "_w"]
+        return folded[name if name == "stem" else name + "_w"]
+
+    def w_up(name):
+        """Decoder-kernel source (subpixel phase layout)."""
+        if q(name) is not None:
+            return qparams[name + "_w"]
+        key = "final" if name == "final" else name + "_w"
+        return subpixel_phase_kernel(folded[key])
+
+    def bias(name):
+        src = folded if (qparams is None or quant_sites is not None) \
+            else qparams
+        return src[name + "_b"]
+
     x = x.astype(compute_dtype)
     obs("stem", x)
-    y = _conv_s2_reflect(x, src["stem_w"] if qparams is not None
-                         else folded["stem"], q("stem"))
+    y = _conv_s2_reflect(x, w_enc("stem"), q("stem"))
     y = y.astype(compute_dtype)
 
     links = []
@@ -210,29 +244,25 @@ def mnet_apply_folded(folded: dict, x, depth: int = 4,
         a = _leaky(y)
         links.append(a)
         obs(f"down{i}", a)
-        y = _conv_s2_reflect(a, src[f"down{i}_w"], q(f"down{i}"))
-        y = (y + src[f"down{i}_b"]).astype(compute_dtype)
+        y = _conv_s2_reflect(a, w_enc(f"down{i}"), q(f"down{i}"))
+        y = (y + bias(f"down{i}")).astype(compute_dtype)
 
     # flax names decoder blocks in creation order (innermost first):
     # _Up_{j} is the j-th APPLIED block and concatenates links[d-1-j]
     for j in range(depth):
         z = _leaky(y)
         obs(f"up{j}", z)
-        cout = src[f"up{j}_b"].shape[0]
-        w_up = src[f"up{j}_w"] if qparams is not None \
-            else subpixel_phase_kernel(folded[f"up{j}_w"])
-        u = _subpixel_phase_conv(z, w_up, cout, q(f"up{j}"))
-        u = (u + src[f"up{j}_b"]).astype(compute_dtype)
+        cout = bias(f"up{j}").shape[0]
+        u = _subpixel_phase_conv(z, w_up(f"up{j}"), cout, q(f"up{j}"))
+        u = (u + bias(f"up{j}")).astype(compute_dtype)
         y = jnp.concatenate([u, links[depth - 1 - j]], axis=-1)
 
     obs("final", y)
-    if qparams is None:
-        cout = folded["final"].shape[-1]
-        y = _subpixel_phase_conv(y, subpixel_phase_kernel(folded["final"]),
-                                 cout)
-    else:
+    if q("final") is not None:
         cout = qparams["final_w"].shape[-1] // 4
-        y = _subpixel_phase_conv(y, qparams["final_w"], cout, q("final"))
+    else:
+        cout = folded["final"].shape[-1]
+    y = _subpixel_phase_conv(y, w_up("final"), cout, q("final"))
     y = y.astype(jnp.float32)
     if activation == "tanh":
         y = jnp.tanh(y)

@@ -125,13 +125,31 @@ class InferenceEngine(_EngineCore):
     def __init__(self, net_g: str = "mnet", *, ngf: int = 64,
                  droprate: float = 0.0, nn_upconv: bool = True,
                  use_selu: bool = False, activation: str = "tanh",
-                 dtype: str = "bfloat16", split_skip: bool = False,
+                 dtype: str = "bfloat16", split_skip: bool = True,
                  pad_multiple: int | None = None, max_batch: int = 8,
-                 devices: int | None = None, seed: int = 0):
-        if dtype not in ("float32", "bfloat16"):
-            raise ValueError(f"dtype must be float32|bfloat16, got {dtype}")
+                 devices: int | None = None, seed: int = 0,
+                 calib_images: list[np.ndarray] | None = None):
+        if dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                f"dtype must be float32|bfloat16|int8, got {dtype}")
+        if dtype == "int8":
+            # the PTQ fold supports the MNet nearest-upsample family
+            # (models/quant.py); measured +31% over bf16 on the chip
+            # (benchmarks/ab_int8_selective.py) at PSNR > 35 dB vs f32
+            if net_g.lower() != "mnet" or not nn_upconv or use_selu:
+                raise ValueError(
+                    "dtype=int8 supports the MNet nearest-upsample "
+                    "configuration (net_g=mnet, nn_upconv, no SELU); "
+                    "serve other configurations in bfloat16")
+            if devices is not None and devices > 1:
+                raise ValueError("dtype=int8 is single-device; combine "
+                                 "with --devices via bfloat16 instead")
         self.dtype = dtype
+        self.activation = activation
+        # int8 holds master weights in f32 (the fold/quantize input)
         jdtype = jnp.bfloat16 if dtype == "bfloat16" else None
+        self._calib_u8 = calib_images
+        self._int8_fn = None
         g_kw = dict(ngf=ngf, drop_rate=droprate, no_conv_t=nn_upconv,
                     use_selu=use_selu, activation=activation, dtype=jdtype)
         if net_g.lower() == "mnet":
@@ -166,6 +184,69 @@ class InferenceEngine(_EngineCore):
             self._batch_sharding = batch_sharding(self.mesh)
             self._place_params()
         self._infer = jax.jit(self._stacked)
+        self._maybe_quantize()
+
+    # -- int8 serving ---------------------------------------------------
+
+    def _calib_batches(self):
+        """[-1,1] f32 calibration batches for activation-scale search.
+
+        Real images (``calib_images``) give representative ranges;
+        without them synthetic noise is used — loudly, because
+        underestimated scales clip real activations.
+        """
+        if self._calib_u8:
+            out = []
+            for im in self._calib_u8:
+                bh, bw = self.bucket_of(im.shape[0], im.shape[1])
+                pad = np.full((1, bh, bw, 3), 128, np.uint8)
+                pad[0, :im.shape[0], :im.shape[1]] = im
+                out.append(jnp.asarray(
+                    pad.astype(np.float32) * (2.0 / 255.0) - 1.0))
+            return out
+        import logging
+        logging.getLogger(__name__).warning(
+            "int8 serving calibrated on synthetic noise — pass real "
+            "images (calib_images / --int8-calib) for representative "
+            "activation scales")
+        k = jax.random.key(11)
+        return [jax.random.uniform(k, (2, 256, 256, 3), jnp.float32)
+                * 2 - 1]
+
+    def _maybe_quantize(self) -> None:
+        """(Re)build the int8 stacked fn from the CURRENT f32 weights —
+        called after every weight swap so hot-reload re-quantizes."""
+        if self.dtype != "int8":
+            return
+        from shadow_removal_istd_tpu.models.quant import (
+            calibrate_mnet,
+            fold_mnet,
+            make_stacked_int8,
+            quantize_mnet,
+        )
+        f1 = fold_mnet(self.v1["params"], self.v1.get("batch_stats", {}))
+        f2 = fold_mnet(self.v2["params"], self.v2.get("batch_stats", {}))
+        batches = self._calib_batches()
+        s1, m1 = calibrate_mnet(f1, batches, activation=self.activation,
+                                return_outputs=True)
+        g2_in = [jnp.concatenate([x, m], axis=-1)
+                 for x, m in zip(batches, m1)]
+        s2 = calibrate_mnet(f2, g2_in, activation=self.activation)
+        self._int8_fn = make_stacked_int8(
+            quantize_mnet(f1, s1), quantize_mnet(f2, s2),
+            activation=self.activation)
+        # params are baked into the int8 graph: a weight swap builds a
+        # new fn and the jit cache naturally re-specializes per bucket
+        self._infer = jax.jit(self._stacked_int8)
+
+    def _stacked_int8(self, v1, v2, x_u8):
+        del v1, v2  # packs are closed over (baked per quantization)
+        x = x_u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+        m, y = self._int8_fn(x)
+        to_u8 = lambda t: (jnp.clip(  # noqa: E731
+            t.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+            * 255.0).astype(jnp.uint8)
+        return to_u8(m), to_u8(y)
 
     def _place_params(self) -> None:
         if self.mesh is None:
@@ -208,6 +289,7 @@ class InferenceEngine(_EngineCore):
         v2 = self._load_one(self.v2, g2_path)
         self.v1, self.v2 = v1, v2
         self._place_params()
+        self._maybe_quantize()
 
     def set_variables(self, v1: dict, v2: dict) -> None:
         """Adopt in-memory variable trees (``{"params", "batch_stats"}``
@@ -229,6 +311,7 @@ class InferenceEngine(_EngineCore):
 
         self.v1, self.v2 = conv(v1), conv(v2)
         self._place_params()
+        self._maybe_quantize()
 
     # -- inference ----------------------------------------------------
 

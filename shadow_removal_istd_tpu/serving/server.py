@@ -32,6 +32,7 @@ import argparse
 import collections
 import json
 import logging
+import os
 import queue
 import signal
 import threading
@@ -449,11 +450,26 @@ def main(argv=None) -> int:
                     help="use ConvTranspose upsampling instead of "
                          "NN-upsample+conv")
     ap.add_argument("--use-selu", action="store_true")
-    ap.add_argument("--split-skip", action="store_true",
+    ap.add_argument("--split-skip", action="store_true", default=True,
                     help="MNet split-skip decoder (eval-only exact "
-                         "rewrite; see benchmarks/ab_split_skip.py)")
+                         "rewrite) — DEFAULT ON since the r5 hardware "
+                         "A/B: +4.4%% flagship / +4.2%% full-res, "
+                         "reproduced (benchmarks/ab_split_skip.py)")
+    ap.add_argument("--no-split-skip", dest="split_skip",
+                    action="store_false",
+                    help="disable the split-skip decoder (exact "
+                         "concat-materializing form)")
     ap.add_argument("--dtype", default="bfloat16",
-                    choices=["bfloat16", "float32"])
+                    choices=["bfloat16", "float32", "int8"],
+                    help="int8 = post-training-quantized serving "
+                         "(MNet nearest-upsample only; measured +31%% "
+                         "over bf16 on v5e at PSNR>35dB vs f32 — see "
+                         "benchmarks/ab_int8_selective.py); pass "
+                         "--int8-calib for representative scales")
+    ap.add_argument("--int8-calib", default=None,
+                    help="directory of representative images (PNG/JPG) "
+                         "for int8 activation calibration; without it "
+                         "synthetic noise is used (warned)")
     ap.add_argument("--load-weights-g1", default=None,
                     help="G1 msgpack weight file (trainer output)")
     ap.add_argument("--load-weights-g2", default=None)
@@ -497,12 +513,23 @@ def main(argv=None) -> int:
     else:
         if not (args.load_weights_g1 and args.load_weights_g2):
             ap.error("--load-weights-g1/-g2 required (or --artifact)")
+        calib = None
+        if args.int8_calib:
+            from shadow_removal_istd_tpu.utils.image_io import (
+                imread_color,
+            )
+            calib = [imread_color(os.path.join(args.int8_calib, f))
+                     for f in sorted(os.listdir(args.int8_calib))
+                     if f.lower().endswith((".png", ".jpg", ".jpeg"))]
+            if not calib:
+                ap.error(f"--int8-calib {args.int8_calib}: no images")
         engine = InferenceEngine(
             args.net_G, ngf=args.ngf, droprate=args.droprate,
             nn_upconv=not args.no_nn_upconv, use_selu=args.use_selu,
             activation=args.activation, dtype=args.dtype,
             split_skip=args.split_skip, pad_multiple=args.pad_multiple,
-            max_batch=args.max_batch, devices=args.devices)
+            max_batch=args.max_batch, devices=args.devices,
+            calib_images=calib)
         engine.load_weights(args.load_weights_g1, args.load_weights_g2)
     sizes = _parse_sizes(args.warmup)
     if sizes:

@@ -72,6 +72,27 @@ class TestInt8:
         psnr = 20 * np.log10(2.0 / max(rms, 1e-12))
         assert psnr > 35.0, f"int8 PSNR vs f32 too low: {psnr:.1f} dB"
 
+    def test_selective_encoder_only(self):
+        """quant_sites=ENCODER_SITES: encoder convs run s8, decoder
+        runs the folded weights — accuracy must sit BETWEEN full int8
+        and exact f32 (strictly >= the full-int8 bar), and with an
+        empty site set the graph must equal the folded forward
+        bit-for-bit (no quantization applied anywhere)."""
+        from shadow_removal_istd_tpu.models.quant import ENCODER_SITES
+        model = MNet(out_channels=1, ngf=8, drop_rate=0.0)
+        x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3)) * 2 - 1
+        params, stats = _trained_like_variables(jax.random.key(0), model, x)
+        folded = fold_mnet(params, stats)
+        qp = quantize_mnet(folded, calibrate_mnet(folded, [x]))
+        ref = mnet_apply_folded(folded, x)
+        enc = jax.jit(lambda f, q, t: mnet_apply_folded(
+            f, t, qparams=q, quant_sites=ENCODER_SITES))(folded, qp, x)
+        rms = float(np.sqrt(np.mean(np.asarray(enc - ref) ** 2)))
+        assert 20 * np.log10(2.0 / max(rms, 1e-12)) > 35.0
+        none_q = jax.jit(lambda f, q, t: mnet_apply_folded(
+            f, t, qparams=q, quant_sites=frozenset()))(folded, qp, x)
+        np.testing.assert_array_equal(np.asarray(none_q), np.asarray(ref))
+
     def test_weights_are_int8(self):
         model = MNet(out_channels=1, ngf=8)
         x = jnp.ones((1, 32, 32, 3))

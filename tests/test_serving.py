@@ -130,6 +130,13 @@ class TestEngine:
              "--load-weights-g2", "b", "--serve-port", "0"])
         assert args.tasks == ["serve"] and args.serve_port == 0
         assert args.serve_window_ms == 5.0
+        assert args.serve_max_queue is None  # default 8*max-batch
+        assert args.serve_timeout_s == 600.0
+        args = build_parser().parse_args(
+            ["--tasks", "serve", "--load-weights-g1", "a",
+             "--load-weights-g2", "b", "--serve-max-queue", "4",
+             "--serve-timeout-s", "30"])
+        assert args.serve_max_queue == 4 and args.serve_timeout_s == 30.0
 
     def test_bf16_engine_runs(self):
         eng = InferenceEngine("mnet", ngf=4, dtype="bfloat16",
@@ -139,6 +146,33 @@ class TestEngine:
         # params actually cast (the flagship-bench serving numerics)
         leaf = jax.tree_util.tree_leaves(eng.v1["params"])[0]
         assert leaf.dtype == jnp.bfloat16
+
+    def test_int8_engine_tracks_f32(self):
+        """dtype=int8: the PTQ pipeline (fold -> calibrate -> s8 convs,
+        models/quant.py) wired into the serving engine. Must produce
+        the same uint8 image as the f32 engine up to PTQ noise, with
+        real calibration images driving the activation scales."""
+        calib = [_img(32, 32, seed=s) for s in range(2)]
+        e8 = InferenceEngine("mnet", ngf=4, dtype="int8", max_batch=2,
+                             calib_images=calib, seed=3)
+        ef = InferenceEngine("mnet", ngf=4, dtype="float32", max_batch=2,
+                             seed=3)
+        ef.set_variables(e8.v1, e8.v2)  # identical f32 weights
+        img = _img(32, 32, seed=9)
+        (m8, y8), = e8.infer_group([img])
+        (mf, yf), = ef.infer_group([img])
+        assert y8.shape == yf.shape == (32, 32, 3)
+        err = y8.astype(np.float32) - yf.astype(np.float32)
+        rms = float(np.sqrt(np.mean(err ** 2)))
+        psnr = 20 * np.log10(255.0 / max(rms, 1e-9))
+        assert psnr > 30.0, f"int8 serving too far from f32: {psnr:.1f}dB"
+
+    def test_int8_rejects_unsupported_configs(self):
+        with pytest.raises(ValueError, match="int8"):
+            InferenceEngine("unet", ngf=4, dtype="int8")
+        with pytest.raises(ValueError, match="int8"):
+            InferenceEngine("mnet", ngf=4, dtype="int8",
+                            nn_upconv=False)
 
 
 @pytest.mark.slow
